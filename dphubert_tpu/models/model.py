@@ -31,8 +31,12 @@ class Wav2Vec2Model:
     may be closed over as a static value in ``jax.jit``.
     """
 
-    def __init__(self, spec: ModelSpec):
+    def __init__(self, spec: ModelSpec, config_override: Optional[dict] = None):
         self.spec = spec
+        # surgery emits configs that retain info a spec cannot represent
+        # (e.g. the recorded FFN width of a dead layer, reference
+        # prune.py:47-59) — keep the exact dict for checkpoint fidelity
+        self._config_override = config_override
 
     # -- construction -------------------------------------------------------
 
@@ -41,6 +45,8 @@ class Wav2Vec2Model:
 
     @property
     def config(self) -> dict:
+        if self._config_override is not None:
+            return dict(self._config_override)
         return config_from_spec(self.spec, prune_flags=True)
 
     # -- inference ----------------------------------------------------------

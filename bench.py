@@ -1,0 +1,101 @@
+"""Benchmark: the stage-1 distill step on real TPU hardware.
+
+Metric (BASELINE.json north star): audio-seconds processed per wall-clock
+second per chip for the full HuBERT Base distillation step — frozen teacher
+forward + gated student forward/backward + 3-group AdamW update — at the
+reference's per-GPU batch budget (160 s of audio, run.sh stage 1).
+
+vs_baseline: the reference pipeline processes 50k steps x 160 s (stage 1)
++ 25k x 160 s (stage 2) = 12M audio-seconds in ~6 h on 4x A100
+(README.md:84) => ~139 audio-sec/sec/chip.  A value of 1.0 here means
+A100-parity per chip on the heavier (stage-1, gated) step.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP = 139.0
+
+
+def main():
+    import jax
+
+    from dphubert_tpu import hubert_base, wav2vec2_model
+    from dphubert_tpu.train.distill_module import (
+        DistillConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    teacher = hubert_base()
+    cfg_gated = dict(
+        teacher.config,
+        extractor_prune_conv_channels=True,
+        encoder_prune_attention_heads=True,
+        encoder_prune_attention_layer=True,
+        encoder_prune_feed_forward_intermediate=True,
+        encoder_prune_feed_forward_layer=True,
+    )
+    student = wav2vec2_model(**cfg_gated)
+
+    teacher_params = teacher.init(jax.random.key(0))
+    student_params = student.init(jax.random.key(1))
+
+    dcfg = DistillConfig(compute_dtype="bfloat16")
+    state, tx = init_train_state(
+        student=student,
+        student_params=student_params,
+        cfg=dcfg,
+        teacher_embed_dim=teacher.spec.embed_dim,
+        rng=jax.random.key(2),
+    )
+    step_fn = make_train_step(teacher, student, dcfg, tx, donate=True)
+
+    # reference budget: 160 s of audio per device per step (run.sh stage 1)
+    T = 240_000  # 15 s clips
+    B = 10
+    audio_sec = B * T / 16000.0
+    wave = np.random.default_rng(0).standard_normal((B, T)).astype(np.float32)
+    batch = (wave, None)
+
+    # warmup/compile — fetch a concrete value: under the axon relay,
+    # block_until_ready can ack before remote execution completes, so only a
+    # device->host value read is a trustworthy fence.
+    state, m = step_fn(state, teacher_params, batch)
+    float(m["loss"])
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step_fn(state, teacher_params, batch)
+    final_loss = float(m["loss"])  # forces the whole chained sequence
+    dt = (time.perf_counter() - t0) / n_iters
+    assert np.isfinite(final_loss)
+
+    value = audio_sec / dt
+    print(
+        json.dumps(
+            {
+                "metric": "distill_step_audio_sec_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "audio-sec/s/chip",
+                "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP, 3),
+                "detail": {
+                    "step_time_s": round(dt, 4),
+                    "batch_audio_sec": audio_sec,
+                    "batch_shape": [B, T],
+                    "model": "hubert_base distill step (teacher fwd + gated "
+                    "student fwd/bwd + AdamW)",
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

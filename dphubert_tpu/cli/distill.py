@@ -1,0 +1,144 @@
+"""Stage 1: joint distillation + pruning (reference ``distill.py``).
+
+Usage mirrors the reference CLI::
+
+    python -m dphubert_tpu.cli.distill \
+        --tsv_dir data/librispeech --train_subset train960 \
+        --teacher_ckpt pretrained/hubert-base-ls960.pth \
+        --student_ckpt pretrained/hubert-base-ls960.pth \
+        --exp_dir exp/stage1 --max_updates 50000 ...
+"""
+
+from __future__ import annotations
+
+import pathlib
+from argparse import ArgumentParser
+
+import jax
+
+from ..models.model import wav2vec2_model
+from ..parallel.mesh import create_mesh
+from ..train.distill_module import DistillConfig
+from ..train.projections import parse_layer_groups
+from ..train.trainer import export_student_checkpoint, train
+from .common import apply_pruning_units, build_loader, load_model_ckpt, merge_params
+
+
+def add_common_training_args(parser: ArgumentParser) -> None:
+    parser.add_argument("--tsv_dir", type=pathlib.Path, required=True)
+    parser.add_argument("--train_subset", default="train100",
+                        choices=["train100", "train960"])
+    parser.add_argument("--seconds_per_batch", default=87.5, type=float)
+    parser.add_argument("--num_workers", default=8, type=int)
+    parser.add_argument("--num_shapes", default=12, type=int,
+                        help="Number of static length buckets (TPU shape set).")
+    parser.add_argument("--resume_checkpoint", type=pathlib.Path, default=None)
+    parser.add_argument("--exp_dir", default=pathlib.Path("./exp"), type=pathlib.Path)
+    parser.add_argument("--log_interval", default=50, type=int)
+    parser.add_argument("--learning_rate", default=0.0002, type=float)
+    parser.add_argument("--weight_decay", default=0.0, type=float)
+    parser.add_argument("--warmup_updates", default=15000, type=int)
+    parser.add_argument("--max_updates", default=50000, type=int)
+    parser.add_argument("--clip_norm", default=10.0, type=float)
+    parser.add_argument("--num_data_shards", default=0, type=int,
+                        help="Mesh data-axis size (0 = all local devices).")
+    parser.add_argument("--accum_grad", default=1, type=int)
+    parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"],
+                        help="Compute dtype (TPU default bf16; params fp32).")
+    parser.add_argument("--teacher_ckpt", type=pathlib.Path, required=True)
+    parser.add_argument("--student_ckpt", type=pathlib.Path, required=True)
+    parser.add_argument("--distill_layers", default="0.4,8,12", type=str)
+    parser.add_argument("--distill_mode", default="layer2layer",
+                        choices=["layer2layer", "predlayer"])
+    parser.add_argument("--l2_weight", default=0.0, type=float)
+    parser.add_argument("--l1_weight", default=1.0, type=float)
+    parser.add_argument("--cos_weight", default=1.0, type=float)
+    parser.add_argument("--cos_type", default="raw", choices=["raw", "log_sig"])
+    parser.add_argument("--seed", default=2022, type=int)
+
+
+def _parse_args():
+    parser = ArgumentParser(description="Joint distillation and pruning (stage 1)")
+    add_common_training_args(parser)
+    parser.add_argument("--pruning_units", default="conv,head,interm,attlayer,ffnlayer")
+    parser.add_argument("--reg_learning_rate", default=0.02, type=float)
+    parser.add_argument("--target_sparsity", default=0.75, type=float)
+    parser.add_argument("--sparsity_warmup_updates", default=5000, type=int)
+    return parser.parse_args()
+
+
+def run_train(args, use_reg: bool = True):
+    teacher, teacher_params, _ = load_model_ckpt(args.teacher_ckpt)
+
+    _, _, student_ckpt = load_model_ckpt(args.student_ckpt)
+    student_config = student_ckpt["config"]
+    if use_reg:
+        student_config = apply_pruning_units(student_config, args.pruning_units)
+    student = wav2vec2_model(**student_config)
+    # strict=False load: pretrained weights + freshly-initialized gates
+    from ..params import tree_to_jax, unflatten_params
+
+    fresh = student.init(jax.random.key(args.seed))
+    student_params = merge_params(
+        fresh, tree_to_jax(unflatten_params(student_ckpt["state_dict"]))
+    )
+
+    cfg = DistillConfig(
+        distill_mode=args.distill_mode,
+        distill_layer_groups=parse_layer_groups(args.distill_layers),
+        l2_weight=args.l2_weight,
+        l1_weight=args.l1_weight,
+        cos_weight=args.cos_weight,
+        cos_type=args.cos_type,
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        warmup_updates=args.warmup_updates,
+        max_updates=args.max_updates,
+        clip_norm=args.clip_norm,
+        use_reg=use_reg,
+        reg_learning_rate=getattr(args, "reg_learning_rate", 0.0),
+        target_sparsity=getattr(args, "target_sparsity", 0.0),
+        sparsity_warmup_updates=getattr(args, "sparsity_warmup_updates", 1),
+        compute_dtype="bfloat16" if args.precision == "bf16" else "float32",
+    )
+
+    n_dev = args.num_data_shards or len(jax.devices())
+    mesh = create_mesh(n_data=n_dev)
+    loader = build_loader(args, args.train_subset, num_replicas=n_dev,
+                          shuffle_seed=args.seed)
+    valid_loader = None
+    try:
+        valid_loader = build_loader(args, "valid", num_replicas=n_dev,
+                                    shuffle_seed=args.seed)
+    except FileNotFoundError:
+        pass
+
+    proj_sd = student_ckpt.get("distill_linear_projs") if not use_reg else None
+
+    state = train(
+        teacher=teacher,
+        teacher_params=teacher_params,
+        student=student,
+        student_params=student_params,
+        cfg=cfg,
+        loader=loader,
+        valid_loader=valid_loader,
+        exp_dir=args.exp_dir,
+        mesh=mesh,
+        log_interval=args.log_interval,
+        resume=args.resume_checkpoint,
+        seed=args.seed,
+        proj_state_dict=proj_sd,
+    )
+    out = pathlib.Path(args.exp_dir) / "ckpts" / "distilled.pth"
+    export_student_checkpoint(state, student, cfg, out)
+    print(f"Saved distilled checkpoint to {out}")
+    return state
+
+
+def cli_main():
+    run_train(_parse_args(), use_reg=True)
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -98,14 +98,16 @@ def _conv1d(x, weight, bias=None, stride: int = 1, padding=0, groups: int = 1):
     """torch-layout Conv1d on (B, C, T) with weight (O, I/groups, K)."""
     if isinstance(padding, int):
         padding = [(padding, padding)]
+    # NOTE: no preferred_element_type here — a f32 accumulator type with bf16
+    # operands breaks the conv transpose (backward) dtype check, and the TPU
+    # MXU already accumulates bf16 convs in f32 natively.
     y = jax.lax.conv_general_dilated(
         x,
-        weight,
+        weight.astype(x.dtype),
         window_strides=(stride,),
         padding=padding,
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         y = y + bias.astype(y.dtype)[None, :, None]

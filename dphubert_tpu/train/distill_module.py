@@ -1,0 +1,259 @@
+"""The joint distillation + pruning train step (reference
+``lightning.py:142-305`` ``DistillModule``), as one pure jittable function.
+
+One step =
+  teacher ``extract_features`` (frozen, no dropout, stop_gradient)
+  + student ``extract_features`` (dropout on, HardConcrete gates sampled)
+  + per-layer projections -> DistillLoss (L1 + cos by default)
+  + Lagrangian sparsity loss  λ1·(s−t) + λ2·(s−t)²  where
+      s = 1 − expected_model_size/teacher_size  (differentiable through the
+      gate l0 norms) and t warms linearly to the target
+  + one update of the 3-group AdamW (see ``optim.py``).
+
+The step is jitted over a device mesh: batch sharded on ``data``, params
+replicated — XLA inserts the gradient all-reduce over ICI (the TPU-native
+equivalent of the reference's DDP/NCCL).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.gates import has_gates, sample_gates
+from ..models.model import Wav2Vec2Model
+from ..models.size import model_size
+from .losses import distill_loss
+from .optim import build_optimizer
+from .projections import apply_projections, flatten_groups, init_projections
+
+
+@dataclass(frozen=True)
+class DistillConfig:
+    """Static training configuration (hashable; closed over by jit)."""
+
+    distill_mode: str = "layer2layer"
+    distill_layer_groups: Tuple[Tuple[int, ...], ...] = ((0,), (4, 8, 12))
+    l2_weight: float = 0.0
+    l1_weight: float = 1.0
+    cos_weight: float = 1.0
+    cos_type: str = "raw"
+    learning_rate: float = 2e-4
+    weight_decay: float = 0.0
+    warmup_updates: int = 15000
+    max_updates: int = 50000
+    clip_norm: float = 10.0
+    use_reg: bool = True
+    reg_learning_rate: float = 0.02
+    target_sparsity: float = 0.75
+    sparsity_warmup_updates: int = 5000
+    compute_dtype: str = "float32"  # "bfloat16" on TPU
+
+
+class TrainState(NamedTuple):
+    params: Any  # {"student": ..., "projs": ..., ["lambdas": ...]}
+    opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+
+def init_train_state(
+    *,
+    student: Wav2Vec2Model,
+    student_params,
+    cfg: DistillConfig,
+    teacher_embed_dim: int,
+    rng,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    rng, proj_key = jax.random.split(rng)
+    projs = init_projections(
+        cfg.distill_mode,
+        cfg.distill_layer_groups,
+        student.spec.embed_dim,
+        teacher_embed_dim,
+        proj_key,
+    )
+    params = {"student": student_params, "projs": projs}
+    if cfg.use_reg:
+        params["lambdas"] = {
+            "lambda1": jnp.zeros((), jnp.float32),
+            "lambda2": jnp.zeros((), jnp.float32),
+        }
+    tx = build_optimizer(
+        learning_rate=cfg.learning_rate,
+        weight_decay=cfg.weight_decay,
+        warmup_updates=cfg.warmup_updates,
+        max_updates=cfg.max_updates,
+        clip_norm=cfg.clip_norm,
+        use_reg=cfg.use_reg,
+        reg_learning_rate=cfg.reg_learning_rate,
+    )
+    opt_state = tx.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32), rng), tx
+
+
+def _target_sparsity(cfg: DistillConfig, step):
+    """Linear warmup of the sparsity target (reference lightning.py:240-243)."""
+    frac = jnp.minimum(
+        step.astype(jnp.float32) / max(cfg.sparsity_warmup_updates, 1), 1.0
+    )
+    return cfg.target_sparsity * frac
+
+
+def _distill_forward(
+    teacher: Wav2Vec2Model,
+    student: Wav2Vec2Model,
+    cfg: DistillConfig,
+    teacher_params,
+    params,
+    batch,
+    step,
+    rng,
+    training: bool,
+    gates,
+):
+    """Shared forward for train/eval: returns (loss, metrics)."""
+    waveforms, lengths = batch
+    dtype = jnp.dtype(cfg.compute_dtype)
+    wave = waveforms.astype(dtype)
+    distill_layers = flatten_groups(cfg.distill_layer_groups)
+
+    teacher_hiddens, _ = teacher.extract_features(
+        jax.lax.stop_gradient(teacher_params), wave, lengths, training=False
+    )
+    teacher_stack = jax.lax.stop_gradient(
+        jnp.stack([teacher_hiddens[i] for i in distill_layers], axis=1)
+    )
+
+    rng_d = None
+    if training:
+        rng, rng_d = jax.random.split(rng)
+    student_hiddens, _ = student.extract_features(
+        params["student"],
+        wave,
+        lengths,
+        gates=gates,
+        training=training,
+        rng=rng_d,
+    )
+    student_stack = apply_projections(
+        params["projs"], cfg.distill_mode, cfg.distill_layer_groups, student_hiddens
+    )
+
+    loss_d, (l_mse, l_l1, l_cos) = distill_loss(
+        student_stack,
+        teacher_stack,
+        l2_weight=cfg.l2_weight,
+        l1_weight=cfg.l1_weight,
+        cos_weight=cfg.cos_weight,
+        cos_type=cfg.cos_type,
+    )
+
+    metrics = {
+        "loss_distill": loss_d,
+        "loss_mse": l_mse,
+        "loss_l1": l_l1,
+        "loss_cos": l_cos,
+    }
+    if cfg.use_reg:
+        original = float(_teacher_numel(teacher_params))
+        cur_size = model_size(params["student"], student.spec)
+        s = 1.0 - cur_size / original
+        t = _target_sparsity(cfg, step)
+        lam1 = params["lambdas"]["lambda1"]
+        lam2 = params["lambdas"]["lambda2"]
+        loss_reg = lam1 * (s - t) + lam2 * jnp.square(s - t)
+        metrics.update(
+            loss_reg=loss_reg,
+            sparsity_expected=s,
+            sparsity_target=t,
+            lambda1=lam1,
+            lambda2=lam2,
+        )
+        loss = loss_d + loss_reg
+    else:
+        loss = loss_d
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def _teacher_numel(teacher_params) -> int:
+    """Teacher size = raw parameter count (reference ``lightning.py:170``:
+    ``sum(p.numel())`` over all torch parameters incl. dummy_weight)."""
+    import numpy as np
+
+    return int(
+        sum(int(np.prod(x.shape)) for x in jax.tree.leaves(teacher_params))
+    )
+
+
+def make_train_step(
+    teacher: Wav2Vec2Model,
+    student: Wav2Vec2Model,
+    cfg: DistillConfig,
+    tx: optax.GradientTransformation,
+    *,
+    donate: bool = True,
+):
+    """Build the jitted train step: (state, teacher_params, batch) -> (state,
+    metrics).  Close over static models/config; teacher params passed as an
+    argument so they live in device memory once."""
+
+    def step_fn(state: TrainState, teacher_params, batch):
+        rng, gate_key, fwd_key = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            gates = None
+            if has_gates(student.spec):
+                gates = sample_gates(student.spec, params["student"], gate_key)
+            return _distill_forward(
+                teacher,
+                student,
+                cfg,
+                teacher_params,
+                params,
+                batch,
+                state.step,
+                fwd_key,
+                True,
+                gates,
+            )
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, rng), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    teacher: Wav2Vec2Model,
+    student: Wav2Vec2Model,
+    cfg: DistillConfig,
+):
+    """Validation step: dropout off; gates passed in (compiled eval masks,
+    mirroring the reference's eval-mode HardConcrete)."""
+
+    def step_fn(state: TrainState, teacher_params, batch, gates):
+        _, metrics = _distill_forward(
+            teacher,
+            student,
+            cfg,
+            teacher_params,
+            state.params,
+            batch,
+            state.step,
+            state.rng,
+            False,
+            gates,
+        )
+        return metrics
+
+    return jax.jit(step_fn)

@@ -1,0 +1,202 @@
+"""Training loop: epochs, device placement, logging, checkpoint/resume.
+
+The runtime equivalent of the reference's ``pl.Trainer`` usage
+(``distill.py:37-51``): steps until ``max_updates``, per-step LR schedule,
+gradient clipping inside the optimizer, rank-0-style logging, latest-state
+checkpointing, and deterministic resume.  Data parallelism is a jit-sharded
+batch over the mesh's ``data`` axis instead of DDP processes.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gates import compile_gates, has_gates
+from ..models.model import Wav2Vec2Model
+from ..parallel.mesh import batch_sharding, replicate
+from ..params import flatten_params
+from .distill_module import (
+    DistillConfig,
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from .projections import projections_to_state_dict
+
+
+class MetricLogger:
+    """stdout + JSONL metrics log (the reference logs via Lightning's
+    log_dict every ``log_interval`` steps, distill.py:49)."""
+
+    def __init__(self, exp_dir: pathlib.Path, interval: int = 50):
+        self.interval = interval
+        self.path = exp_dir / "metrics.jsonl"
+        self._f = open(self.path, "a")
+        self._t0 = time.time()
+        self._last_step = 0
+        self._last_time = self._t0
+
+    def log(self, step: int, metrics: dict, audio_seconds: float = 0.0):
+        if step % self.interval != 0:
+            return
+        now = time.time()
+        dt = now - self._last_time
+        row = {
+            "step": step,
+            "elapsed": round(now - self._t0, 1),
+            "steps_per_sec": round((step - self._last_step) / dt, 3) if dt > 0 else 0,
+            **{k: float(v) for k, v in metrics.items()},
+        }
+        self._last_step, self._last_time = step, now
+        self._f.write(json.dumps(row) + "\n")
+        self._f.flush()
+        msg = " ".join(
+            f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in row.items()
+        )
+        print(f"[train] {msg}", flush=True)
+
+
+def save_train_state(path, state: TrainState) -> None:
+    """Full-fidelity training-state checkpoint (params + Adam moments +
+    step + rng) as a flat npz — resume-exact, torch-free."""
+    flat = {}
+    leaves, treedef = jax.tree_util.tree_flatten(
+        state._replace(rng=jax.random.key_data(state.rng))
+    )
+    for i, leaf in enumerate(leaves):
+        flat[f"leaf_{i}"] = np.asarray(leaf)
+    np.savez(path, __num_leaves__=np.asarray(len(leaves)), **flat)
+
+
+def load_train_state(path, template: TrainState) -> TrainState:
+    data = np.load(path)
+    n = int(data["__num_leaves__"])
+    leaves = [data[f"leaf_{i}"] for i in range(n)]
+    _, treedef = jax.tree_util.tree_flatten(
+        template._replace(rng=jax.random.key_data(template.rng))
+    )
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return state._replace(rng=jax.random.wrap_key_data(jnp.asarray(state.rng)))
+
+
+def train(
+    *,
+    teacher: Wav2Vec2Model,
+    teacher_params,
+    student: Wav2Vec2Model,
+    student_params,
+    cfg: DistillConfig,
+    loader,
+    exp_dir,
+    mesh=None,
+    valid_loader=None,
+    log_interval: int = 50,
+    ckpt_interval: int = 1000,
+    resume: Optional[str] = None,
+    seed: int = 2022,
+    proj_state_dict=None,
+) -> TrainState:
+    """Run stage-1 (use_reg) or stage-2 (final distill) training to
+    ``cfg.max_updates``; returns the final state."""
+    exp_dir = pathlib.Path(exp_dir)
+    (exp_dir / "ckpts").mkdir(parents=True, exist_ok=True)
+    logger = MetricLogger(exp_dir, log_interval)
+
+    state, tx = init_train_state(
+        student=student,
+        student_params=student_params,
+        cfg=cfg,
+        teacher_embed_dim=teacher.spec.embed_dim,
+        rng=jax.random.key(seed),
+    )
+    if proj_state_dict is not None:
+        # warm-start projections from stage 1 (reference final_distill.py:93)
+        from .projections import projections_from_state_dict
+
+        state = state._replace(
+            params={
+                **state.params,
+                "projs": projections_from_state_dict(
+                    proj_state_dict, cfg.distill_mode, cfg.distill_layer_groups
+                ),
+            }
+        )
+    if resume:
+        state = load_train_state(resume, state)
+        print(f"[train] resumed from {resume} at step {int(state.step)}")
+
+    if mesh is not None:
+        teacher_params = replicate(mesh, teacher_params)
+        state = state._replace(params=replicate(mesh, state.params))
+        bsh = batch_sharding(mesh)
+    else:
+        bsh = None
+
+    step_fn = make_train_step(teacher, student, cfg, tx)
+    eval_fn = make_eval_step(teacher, student, cfg) if valid_loader else None
+
+    step = int(state.step)
+    epoch = 0
+    done = False
+    while not done:
+        for wave, lengths in loader.epoch(epoch):
+            if bsh is not None:
+                wave = jax.device_put(wave, bsh)
+            state, metrics = step_fn(state, teacher_params, (wave, lengths))
+            step += 1
+            logger.log(step, metrics, audio_seconds=wave.shape[0] * wave.shape[1] / 16000)
+            if step % ckpt_interval == 0:
+                save_train_state(exp_dir / "ckpts" / "last.npz", state)
+            if step >= cfg.max_updates:
+                done = True
+                break
+        if eval_fn is not None and not done:
+            _run_validation(eval_fn, state, teacher_params, student, valid_loader, bsh, step)
+        epoch += 1
+
+    save_train_state(exp_dir / "ckpts" / "last.npz", state)
+    return state
+
+
+def _run_validation(eval_fn, state, teacher_params, student, valid_loader, bsh, step):
+    gates = None
+    if has_gates(student.spec):
+        gates = compile_gates(student.spec, jax.tree.map(np.asarray, state.params["student"]))
+        gates = jax.tree.map(jnp.asarray, gates)
+    losses = []
+    for wave, lengths in valid_loader.epoch(0):
+        if bsh is not None:
+            wave = jax.device_put(wave, bsh)
+        m = eval_fn(state, teacher_params, (wave, lengths), gates)
+        losses.append(float(m["loss"]))
+    print(f"[valid] step={step} loss={np.mean(losses):.4f} ({len(losses)} batches)",
+          flush=True)
+
+
+def export_student_checkpoint(
+    state: TrainState,
+    student: Wav2Vec2Model,
+    cfg: DistillConfig,
+    path,
+) -> None:
+    """Write the stage output as a portable ``{config, state_dict,
+    distill_linear_projs}`` checkpoint consumable by the prune/export CLIs
+    (and by the reference's tooling via the .pth format)."""
+    from ..interop.torch_ckpt import save_checkpoint
+
+    sd = flatten_params(jax.tree.map(np.asarray, state.params["student"]))
+    projs = projections_to_state_dict(
+        jax.tree.map(np.asarray, state.params["projs"]),
+        cfg.distill_mode,
+        cfg.distill_layer_groups,
+    )
+    save_checkpoint(path, student.config, sd, projs)

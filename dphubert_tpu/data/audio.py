@@ -28,7 +28,21 @@ def _native_lib() -> Optional[ctypes.CDLL]:
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    so = pathlib.Path(__file__).resolve().parent.parent / "csrc" / "libdpaudio.so"
+    csrc = pathlib.Path(__file__).resolve().parent.parent / "csrc"
+    so = csrc / "libdpaudio.so"
+    if not so.exists():
+        # best-effort one-shot build (g++ is part of the supported toolchain)
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-s", "-C", str(csrc)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
     if not so.exists():
         return None
     lib = ctypes.CDLL(str(so))

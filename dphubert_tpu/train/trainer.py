@@ -43,8 +43,10 @@ class MetricLogger:
         self._t0 = time.time()
         self._last_step = 0
         self._last_time = self._t0
+        self._audio_acc = 0.0
 
     def log(self, step: int, metrics: dict, audio_seconds: float = 0.0):
+        self._audio_acc += audio_seconds
         if step % self.interval != 0:
             return
         now = time.time()
@@ -53,9 +55,11 @@ class MetricLogger:
             "step": step,
             "elapsed": round(now - self._t0, 1),
             "steps_per_sec": round((step - self._last_step) / dt, 3) if dt > 0 else 0,
+            # the BASELINE.json north-star counter
+            "audio_sec_per_sec": round(self._audio_acc / dt, 1) if dt > 0 else 0,
             **{k: float(v) for k, v in metrics.items()},
         }
-        self._last_step, self._last_time = step, now
+        self._last_step, self._last_time, self._audio_acc = step, now, 0.0
         self._f.write(json.dumps(row) + "\n")
         self._f.flush()
         msg = " ".join(

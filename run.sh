@@ -1,0 +1,81 @@
+#!/bin/bash
+# Full compression recipe: HuBERT Base -> DPHuBERT at sparsity 0.75.
+#
+# TPU-native counterpart of the reference pipeline driver (reference
+# run.sh:45-115): same four stages and hyperparameters; data parallelism
+# comes from the jit-sharded device mesh instead of SLURM+DDP ranks, so one
+# process drives all local chips.  For multi-host TPU slices, launch this
+# script once per host (jax.distributed initializes from the TPU runtime).
+set -euo pipefail
+
+# ---- hyperparameters (the recipe record, reference run.sh:16-42) ----
+tsv_dir=${TSV_DIR:-data/librispeech}          # prepared by cli.prepare_data
+train_subset=${TRAIN_SUBSET:-train960}
+teacher_ckpt=${TEACHER_CKPT:-pretrained/hubert-base-ls960.hf.pth}
+student_ckpt=${STUDENT_CKPT:-$teacher_ckpt}
+distill_layers=${DISTILL_LAYERS:-"0.4,8,12"}
+distill_mode="layer2layer"
+l2_weight=0; l1_weight=1; cos_weight=1; cos_type="raw"
+
+learning_rate=0.0002
+warmup_updates=${WARMUP_UPDATES:-15000}
+max_updates=${MAX_UPDATES:-50000}
+seconds_per_batch=${SECONDS_PER_BATCH:-160}   # per chip
+clip_norm=10
+
+pruning_units="conv,head,interm"
+reg_learning_rate=0.02
+target_sparsity=${TARGET_SPARSITY:-0.75}
+sparsity_warmup_updates=5000
+
+final_learning_rate=0.0001
+final_warmup_updates=${FINAL_WARMUP_UPDATES:-5000}
+final_max_updates=${FINAL_MAX_UPDATES:-25000}
+
+root_dir=${EXP_DIR:-exp/hubert-base_sp${target_sparsity}}
+mkdir -p "$root_dir"
+
+# ---- stage 1: joint distillation + structured pruning ----
+python -m dphubert_tpu.cli.distill \
+  --tsv_dir "$tsv_dir" --train_subset "$train_subset" \
+  --seconds_per_batch "$seconds_per_batch" \
+  --exp_dir "$root_dir/stage1" \
+  --teacher_ckpt "$teacher_ckpt" --student_ckpt "$student_ckpt" \
+  --distill_layers "$distill_layers" --distill_mode "$distill_mode" \
+  --l2_weight "$l2_weight" --l1_weight "$l1_weight" \
+  --cos_weight "$cos_weight" --cos_type "$cos_type" \
+  --learning_rate "$learning_rate" --warmup_updates "$warmup_updates" \
+  --max_updates "$max_updates" --clip_norm "$clip_norm" \
+  --pruning_units "$pruning_units" --reg_learning_rate "$reg_learning_rate" \
+  --target_sparsity "$target_sparsity" \
+  --sparsity_warmup_updates "$sparsity_warmup_updates" \
+  --precision bf16 2>&1 | tee "$root_dir/stage1.log" || exit 1
+
+# ---- stage 1.5: mask surgery ----
+python -m dphubert_tpu.cli.prune \
+  --distilled_ckpt "$root_dir/stage1/ckpts/distilled.pth" \
+  --original_ckpt "$teacher_ckpt"
+
+# ---- stage 2: final distillation of the pruned student ----
+python -m dphubert_tpu.cli.final_distill \
+  --tsv_dir "$tsv_dir" --train_subset "$train_subset" \
+  --seconds_per_batch "$seconds_per_batch" \
+  --exp_dir "$root_dir/stage2" \
+  --teacher_ckpt "$teacher_ckpt" \
+  --student_ckpt "$root_dir/stage1/ckpts/pruned_hubert_base.pth" \
+  --distill_layers "$distill_layers" --distill_mode "$distill_mode" \
+  --l2_weight "$l2_weight" --l1_weight "$l1_weight" \
+  --cos_weight "$cos_weight" --cos_type "$cos_type" \
+  --learning_rate "$final_learning_rate" \
+  --warmup_updates "$final_warmup_updates" \
+  --max_updates "$final_max_updates" --clip_norm "$clip_norm" \
+  --precision bf16 2>&1 | tee "$root_dir/stage2.log"
+
+# ---- stage 3: merge + export the portable checkpoint ----
+python -m dphubert_tpu.cli.save_final_ckpt \
+  --config_path "$root_dir/stage1/ckpts/pruned_hubert_base.pth" \
+  --ckpt_after_final_distill "$root_dir/stage2/ckpts/distilled.pth" \
+  --out "$root_dir/dphubert.pth"
+
+python -m dphubert_tpu.cli.load_dpmodel "$root_dir/dphubert.pth"
+echo "Done: $root_dir/dphubert.pth"

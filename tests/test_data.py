@@ -1,0 +1,127 @@
+"""Data pipeline: samplers, loader, manifests, checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from dphubert_tpu.data.sampler import (
+    BucketizeBatchSampler,
+    DistributedBatchSampler,
+    StaticShapeBatcher,
+)
+
+
+def test_bucketize_filters_and_packs():
+    lengths = [10, 50, 100, 160, 200, 210, 999, 5]
+    s = BucketizeBatchSampler(
+        lengths, num_buckets=10, min_len=40, max_len=250,
+        max_token_count=400, shuffle=False,
+    )
+    batches = list(s)
+    # all indices within bounds, each batch under the token budget
+    flat = [i for b in batches for i in b]
+    assert set(flat) == {1, 2, 3, 4, 5}  # 10, 5, 999 filtered out
+    for b in batches:
+        assert sum(lengths[i] for i in b) <= 400
+    # sorted-by-length packing: batch boundaries respect ordering
+    assert flat == sorted(flat, key=lambda i: lengths[i])
+
+
+def test_bucketize_batch_size_mode():
+    lengths = list(range(100, 200))
+    s = BucketizeBatchSampler(
+        lengths, num_buckets=5, batch_size=8, shuffle=False, drop_last=True
+    )
+    batches = list(s)
+    assert all(len(b) == 8 for b in batches)
+
+
+def test_distributed_batch_sampler_partition():
+    lengths = list(range(100, 180))
+    base = BucketizeBatchSampler(
+        lengths, num_buckets=5, batch_size=4, shuffle=False
+    )
+    parts = [
+        list(DistributedBatchSampler(base, num_replicas=4, rank=r, shuffle=True,
+                                     seed=3, epoch=1))
+        for r in range(4)
+    ]
+    # equal share per rank; identical lengths
+    n = len(parts[0])
+    assert all(len(p) == n for p in parts)
+    # same seed+epoch on every rank slices a single consistent permutation:
+    # rebuilding rank 0 gives the same subset
+    again = list(DistributedBatchSampler(base, num_replicas=4, rank=0,
+                                         shuffle=True, seed=3, epoch=1))
+    assert again == parts[0]
+
+
+def test_static_shape_batcher_closed_shape_set():
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(32000, 250001, size=500)
+    b = StaticShapeBatcher(
+        lengths, max_token_count=320000, num_shapes=8, seed=0
+    )
+    shapes = set()
+    for rung, idx in b.epoch_batches(0):
+        shapes.add((len(idx), rung))
+        # every member is at least rung long (crop never pads)
+        assert (lengths[idx] >= rung).all()
+    assert shapes <= set(b.shapes)
+    assert len(shapes) <= 8
+
+
+def test_static_shape_batcher_deterministic_and_replica_consistent():
+    lengths = np.random.default_rng(1).integers(32000, 250001, size=300)
+    b1 = StaticShapeBatcher(lengths, max_token_count=500000, seed=7,
+                            num_replicas=2, rank=0)
+    b2 = StaticShapeBatcher(lengths, max_token_count=500000, seed=7,
+                            num_replicas=2, rank=1)
+    e1, e2 = b1.epoch_batches(3), b2.epoch_batches(3)
+    assert len(e1) == len(e2)
+    for (r1, i1), (r2, i2) in zip(e1, e2):
+        assert r1 == r2
+        np.testing.assert_array_equal(i1, i2)  # same global batch on all ranks
+        assert len(i1) % 2 == 0  # divisible across replicas
+    # different epoch reshuffles
+    assert any(
+        not np.array_equal(a[1], b[1])
+        for a, b in zip(e1, b1.epoch_batches(4))
+    )
+
+
+def test_train_state_save_load_roundtrip(tmp_path):
+    import jax
+
+    from dphubert_tpu import wav2vec2_model
+    from dphubert_tpu.train.distill_module import DistillConfig, init_train_state
+    from dphubert_tpu.train.trainer import load_train_state, save_train_state
+
+    from tests.test_forward_parity import _tiny_w2v2_config
+
+    cfg = _tiny_w2v2_config()
+    student = wav2vec2_model(**cfg)
+    dcfg = DistillConfig(use_reg=False, distill_layer_groups=((0,), (1, 3)))
+    state, _ = init_train_state(
+        student=student,
+        student_params=student.init(jax.random.key(0)),
+        cfg=dcfg,
+        teacher_embed_dim=64,
+        rng=jax.random.key(1),
+    )
+    state = state._replace(step=state.step + 41)
+    save_train_state(tmp_path / "s.npz", state)
+
+    template, _ = init_train_state(
+        student=student,
+        student_params=student.init(jax.random.key(9)),
+        cfg=dcfg,
+        teacher_embed_dim=64,
+        rng=jax.random.key(8),
+    )
+    restored = load_train_state(tmp_path / "s.npz", template)
+    assert int(restored.step) == 41
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        jax.random.key_data(state.rng), jax.random.key_data(restored.rng)
+    )

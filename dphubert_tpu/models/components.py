@@ -260,6 +260,18 @@ def compute_wavlm_bias(p_att, spec: AttentionSpec, seq_len: int):
 # --- Attention -------------------------------------------------------------
 
 
+def use_flash_attention() -> bool:
+    """Flash kernel gate: on for real TPU backends, off for CPU tests
+    (interpret mode is only for kernel unit tests) unless forced via
+    DPHUBERT_FLASH_ATTENTION=1/0."""
+    import os
+
+    env = os.environ.get("DPHUBERT_FLASH_ATTENTION")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
+
+
 def _core_attention(
     p,
     spec: AttentionSpec,
@@ -269,11 +281,16 @@ def _core_attention(
     layer_gate,
     training,
     rngs,
+    lengths=None,
+    has_bias: bool = False,
 ):
     """Scaled-dot-product MHA with decoupled inner width and HardConcrete
     gates (reference ``components.py:399-436``).
 
     x: (B, L, E); attn_mask: additive, broadcastable to (B, H, L, L) or None.
+    ``lengths`` carries the same information as the pure padding mask; when
+    the mask is *only* padding (no WavLM bias) the fused flash kernel applies
+    it in-kernel instead of materializing (B, H, L, L).
     """
     B, L, _ = x.shape
     H, D = spec.num_heads, spec.head_dim
@@ -283,20 +300,35 @@ def _core_attention(
     k = _linear(p["k_proj"], x, dtype=x.dtype).reshape(B, L, H, D)
     v = _linear(p["v_proj"], x, dtype=x.dtype).reshape(B, L, H, D)
 
-    # (B, H, L, L) logits on the MXU; accumulate in fp32.
-    weights = jnp.einsum(
-        "blhd,bmhd->bhlm", q * scaling, k, preferred_element_type=jnp.float32
-    )
-    if attn_mask is not None:
-        weights = weights + attn_mask.astype(jnp.float32)
-    weights = weights - jax.lax.stop_gradient(
-        jnp.max(weights, axis=-1, keepdims=True)
-    )
-    probs = jax.nn.softmax(weights, axis=-1).astype(x.dtype)
-    probs = _dropout(probs, spec.dropout, training, rngs)
+    # Flash path: padding-only masking, no probs-dropout active.
+    dropout_active = training and spec.dropout > 0.0 and rngs is not None
+    if not has_bias and not dropout_active and use_flash_attention():
+        from ..ops.flash_attention import flash_attention
 
-    out = jnp.einsum("bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype)
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            lengths,
+            scale=scaling,
+        ).transpose(0, 2, 1, 3)  # (B, L, H, D)
+    else:
+        # (B, H, L, L) logits on the MXU; accumulate in fp32.
+        weights = jnp.einsum(
+            "blhd,bmhd->bhlm", q * scaling, k, preferred_element_type=jnp.float32
+        )
+        if attn_mask is not None:
+            weights = weights + attn_mask.astype(jnp.float32)
+        weights = weights - jax.lax.stop_gradient(
+            jnp.max(weights, axis=-1, keepdims=True)
+        )
+        probs = jax.nn.softmax(weights, axis=-1).astype(x.dtype)
+        probs = _dropout(probs, spec.dropout, training, rngs)
+
+        out = jnp.einsum(
+            "bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32
+        )
+        out = out.astype(x.dtype)
     if head_gate is not None:
         out = out * head_gate.astype(out.dtype)[None, None, :, None]
     out = out.reshape(B, L, H * D)
@@ -315,6 +347,7 @@ def self_attention_forward(
     gates,
     training,
     rngs,
+    lengths=None,
 ):
     """Dispatch between plain SelfAttention and WavLMSelfAttention.
 
@@ -328,7 +361,8 @@ def self_attention_forward(
     if not spec.is_wavlm:
         return (
             _core_attention(
-                p, spec, x, attn_mask, head_gate, layer_gate, training, rngs
+                p, spec, x, attn_mask, head_gate, layer_gate, training, rngs,
+                lengths=lengths, has_bias=False,
             ),
             position_bias,
         )
@@ -359,7 +393,10 @@ def self_attention_forward(
         if spec.remaining_heads is not None and len(spec.remaining_heads) != TH:
             biased = biased[:, jnp.asarray(spec.remaining_heads), :, :]
         mask = biased if attn_mask is None else biased + attn_mask
-    out = _core_attention(p, spec, x, mask, head_gate, layer_gate, training, rngs)
+    out = _core_attention(
+        p, spec, x, mask, head_gate, layer_gate, training, rngs,
+        lengths=lengths, has_bias=mask is not None,
+    )
     return out, position_bias
 
 
@@ -398,6 +435,7 @@ def encoder_layer_forward(
     gates,
     training,
     rngs,
+    lengths=None,
 ):
     """Pre/post-norm residual block.  Either sublayer may be pruned away; in
     the post-norm path both LayerNorms still apply (components.py:848-856)."""
@@ -417,6 +455,7 @@ def encoder_layer_forward(
             att_gates,
             training,
             rngs,
+            lengths=lengths,
         )
         x = _dropout(x, spec.dropout, training, rngs)
         x = residual + x
@@ -460,6 +499,7 @@ def transformer_forward(
     gates,
     training,
     rngs,
+    lengths=None,
 ):
     """Full pass through all layers with LayerDrop (components.py:894-907)."""
     x = _transformer_preprocess(p, spec, x, training, rngs)
@@ -470,7 +510,8 @@ def transformer_forward(
 
         def run(x, position_bias=position_bias, lp=lp, layer=layer, lg=lg):
             return encoder_layer_forward(
-                lp, layer, x, attn_mask, position_bias, lg, training, rngs
+                lp, layer, x, attn_mask, position_bias, lg, training, rngs,
+                lengths=lengths,
             )
 
         if training and spec.layer_drop > 0.0 and rngs is not None:
@@ -501,6 +542,7 @@ def transformer_intermediate_outputs(
     training,
     rngs,
     num_layers: Optional[int] = None,
+    lengths=None,
 ) -> List[jax.Array]:
     """Every layer's hidden state, never applying LayerDrop — distillation
     sees all layers (reference ``components.py:909-927``)."""
@@ -510,7 +552,8 @@ def transformer_intermediate_outputs(
     for i, layer in enumerate(spec.layers):
         lg = gates.get("layers", {}).get(str(i)) if gates else None
         x, position_bias = encoder_layer_forward(
-            p["layers"][str(i)], layer, x, attn_mask, position_bias, lg, training, rngs
+            p["layers"][str(i)], layer, x, attn_mask, position_bias, lg,
+            training, rngs, lengths=lengths,
         )
         outs.append(x)
         if num_layers is not None and len(outs) >= num_layers:
@@ -539,7 +582,9 @@ def encoder_preprocess(p, spec: ModelSpec, features, lengths, training, rngs):
 
 def encoder_forward(p, spec: ModelSpec, features, lengths, gates, training, rngs):
     x, mask = encoder_preprocess(p, spec, features, lengths, training, rngs)
-    return transformer_forward(p["transformer"], spec, x, mask, gates, training, rngs)
+    return transformer_forward(
+        p["transformer"], spec, x, mask, gates, training, rngs, lengths=lengths
+    )
 
 
 def encoder_extract_features(
@@ -556,7 +601,8 @@ def encoder_extract_features(
     pre-transformer hidden state (reference ``components.py:995-1003``)."""
     x, mask = encoder_preprocess(p, spec, features, lengths, training, rngs)
     interm = transformer_intermediate_outputs(
-        p["transformer"], spec, x, mask, gates, training, rngs, num_layers
+        p["transformer"], spec, x, mask, gates, training, rngs, num_layers,
+        lengths=lengths,
     )
     return [x] + interm
 

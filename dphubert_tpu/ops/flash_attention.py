@@ -1,0 +1,433 @@
+"""Flash attention for TPU (Pallas): fused online-softmax attention.
+
+Replaces the XLA dense-attention path for the non-WavLM models: the dense
+path materializes the (B, H, L, L) probability tensor to HBM between the two
+matmuls, which at the pipeline's shapes (L<=800, D=64) is ~10x more HBM
+traffic than compute — this kernel keeps score tiles in VMEM with running
+softmax statistics (fp32), and the custom-VJP backward recomputes
+probabilities from the saved (m, l) statistics instead of storing them.
+
+Supports per-sample valid lengths (the reference's -10000 additive padding
+mask, components.py:976-984, becomes an in-kernel iota mask).  The WavLM
+gated-bias path stays on XLA — its (B, H, L, L) bias tensor is both a kernel
+input and a gradient target, so flash saves little there.
+
+Structure follows the public JAX flash-attention tiling recipe (grid over
+(batch, head, q-tile, kv-tile) with the kv axis as the sequential online
+reduction; fp32 m/l/acc scratch in VMEM; separate dkv / dq backward kernels
+sharing a precomputed di = rowsum(o * do)).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(np.finfo(np.float32).max)
+LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    lengths_ref,  # scalar prefetch: (B,) int32
+    q_ref,  # (1, 1, block_q, D)
+    k_ref,  # (1, 1, block_kv, D)
+    v_ref,  # (1, 1, block_kv, D)
+    o_ref,  # (1, 1, block_q, D)
+    m_out_ref,  # (1, 1, block_q)
+    l_out_ref,  # (1, 1, block_q)
+    m_ref,  # scratch (block_q, LANES) fp32
+    l_ref,  # scratch (block_q, LANES) fp32
+    acc_ref,  # scratch (block_q, D) fp32
+    *,
+    scale: float,
+    block_kv: int,
+    n_kv: int,
+    masked: bool,
+):
+    b = pl.program_id(0)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale  # (block_q, block_kv)
+
+    if masked:
+        length = lengths_ref[b]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+        s = jnp.where(col < length, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    v = v_ref[0, 0]
+    pv = jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        l_final = l_ref[:, :1]
+        l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        m_out_ref[0, 0] = m_ref[:, 0]
+        l_out_ref[0, 0] = l_ref[:, 0]
+
+
+def _fwd(q, k, v, lengths, scale, block_q, block_kv, interpret):
+    B, H, L, D = q.shape
+    n_q = L // block_q
+    n_kv = L // block_kv
+    masked = lengths is not None
+    if lengths is None:
+        lengths = jnp.full((B,), L, jnp.int32)
+
+    grid = (B, H, n_q, n_kv)
+    out, m, l = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel,
+            scale=scale,
+            block_kv=block_kv,
+            n_kv=n_kv,
+            masked=masked,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, *_: (b, h, i)),
+                pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, *_: (b, h, i)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, L), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, q, k, v)
+    return out, m, l
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dkv_kernel(
+    lengths_ref,
+    q_ref,   # (1, 1, block_q, D)
+    k_ref,   # (1, 1, block_kv, D)
+    v_ref,   # (1, 1, block_kv, D)
+    do_ref,  # (1, 1, block_q, D)
+    m_ref,   # (1, 1, block_q)
+    l_ref,   # (1, 1, block_q)
+    di_ref,  # (1, 1, block_q)
+    dk_ref,  # out (1, 1, block_kv, D)
+    dv_ref,  # out (1, 1, block_kv, D)
+    dk_acc,  # scratch (block_kv, D) fp32
+    dv_acc,  # scratch (block_kv, D) fp32
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    n_q: int,
+    masked: bool,
+):
+    b = pl.program_id(0)
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    m = m_ref[0, 0][:, None]
+    l = l_ref[0, 0][:, None]
+    di = di_ref[0, 0][:, None]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (block_q, block_kv)
+    if masked:
+        length = lengths_ref[b]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+        s = jnp.where(col < length, s, NEG_INF)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    p = jnp.exp(s - m) * l_inv  # (block_q, block_kv)
+
+    # dV += P^T @ dO
+    dv_acc[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dP = dO @ V^T ; dS = P * (dP - di) * scale
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - di) * scale
+    # dK += dS^T @ Q
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q_idx == n_q - 1)
+    def _store():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    lengths_ref,
+    q_ref,   # (1, 1, block_q, D)
+    k_ref,   # (1, 1, block_kv, D)
+    v_ref,   # (1, 1, block_kv, D)
+    do_ref,  # (1, 1, block_q, D)
+    m_ref,
+    l_ref,
+    di_ref,
+    dq_ref,  # out (1, 1, block_q, D)
+    dq_acc,  # scratch (block_q, D) fp32
+    *,
+    scale: float,
+    block_kv: int,
+    n_kv: int,
+    masked: bool,
+):
+    b = pl.program_id(0)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    m = m_ref[0, 0][:, None]
+    l = l_ref[0, 0][:, None]
+    di = di_ref[0, 0][:, None]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if masked:
+        length = lengths_ref[b]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+        s = jnp.where(col < length, s, NEG_INF)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    p = jnp.exp(s - m) * l_inv
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - di) * scale
+    dq_acc[...] += jax.lax.dot(
+        ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Public API with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
+)
+def _flash(q, k, v, lengths, scale, block_q, block_kv, interpret):
+    out, _, _ = _fwd(q, k, v, lengths, scale, block_q, block_kv, interpret)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, lengths, scale, block_q, block_kv, interpret):
+    out, m, l = _fwd(q, k, v, lengths, scale, block_q, block_kv, interpret)
+    return out, (q, k, v, lengths, out, m, l)
+
+
+def _flash_bwd_rule(scale, block_q, block_kv, interpret, res, do):
+    q, k, v, lengths, out, m, l = res
+    B, H, L, D = q.shape
+    n_q = L // block_q
+    n_kv = L // block_kv
+    masked = lengths is not None
+    if lengths is None:
+        lengths = jnp.full((B,), L, jnp.int32)
+    di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+
+    qkv_spec = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_kv, D), lambda b, h, j, i, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_kv, D), lambda b, h, j, i, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q), lambda b, h, j, i, *_: (b, h, i)),
+        pl.BlockSpec((1, 1, block_q), lambda b, h, j, i, *_: (b, h, i)),
+        pl.BlockSpec((1, 1, block_q), lambda b, h, j, i, *_: (b, h, i)),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel,
+            scale=scale,
+            block_q=block_q,
+            block_kv=block_kv,
+            n_q=n_q,
+            masked=masked,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, n_kv, n_q),
+            in_specs=qkv_spec,
+            out_specs=[
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h, j, i, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h, j, i, *_: (b, h, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, D), jnp.float32),
+                pltpu.VMEM((block_kv, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, q, k, v, do, m, l, di)
+
+    dq_spec = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, *_: (b, h, i)),
+        pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, *_: (b, h, i)),
+        pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, *_: (b, h, i)),
+    ]
+    (dq,) = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel,
+            scale=scale,
+            block_kv=block_kv,
+            n_kv=n_kv,
+            masked=masked,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, n_q, n_kv),
+            in_specs=dq_spec,
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, H, L, D), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, q, k, v, do, m, l, di)
+
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q,
+    k,
+    v,
+    lengths: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    block_kv: int = 128,
+    interpret: Optional[bool] = None,
+):
+    """Fused attention: softmax(scale * q @ k^T + length_mask) @ v.
+
+    q, k, v: (B, H, L, D); lengths: optional (B,) valid-key counts.
+    L is padded internally to a block multiple; D should be a multiple of 8
+    (64 for this model family).
+    """
+    B, H, L, D = q.shape
+    if interpret is None:
+        # non-TPU backends run the kernel through the Pallas interpreter
+        # (tests / debugging); production path is compiled Mosaic.
+        interpret = jax.default_backend() != "tpu"
+    if scale is None:
+        scale = D ** -0.5
+    block_q = min(block_q, _ceil_to(L, LANES))
+    block_kv = min(block_kv, _ceil_to(L, LANES))
+    Lp = _ceil_to(L, max(block_q, block_kv))
+    if Lp != L:
+        pad = [(0, 0), (0, 0), (0, Lp - L), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        if lengths is None:
+            lengths = jnp.full((B,), L, jnp.int32)
+    if lengths is not None:
+        lengths = lengths.astype(jnp.int32)
+    out = _flash(q, k, v, lengths, float(scale), block_q, block_kv, interpret)
+    if Lp != L:
+        out = out[:, :, :L, :]
+    return out

@@ -45,6 +45,9 @@ def add_common_training_args(parser: ArgumentParser) -> None:
     parser.add_argument("--accum_grad", default=1, type=int)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"],
                         help="Compute dtype (TPU default bf16; params fp32).")
+    parser.add_argument("--remat", action="store_true",
+                        help="Per-layer activation checkpointing (larger "
+                        "batches at ~30%% extra student FLOPs).")
     parser.add_argument("--teacher_ckpt", type=pathlib.Path, required=True)
     parser.add_argument("--student_ckpt", type=pathlib.Path, required=True)
     parser.add_argument("--distill_layers", default="0.4,8,12", type=str)
@@ -100,6 +103,8 @@ def run_train(args, use_reg: bool = True):
         target_sparsity=getattr(args, "target_sparsity", 0.0),
         sparsity_warmup_updates=getattr(args, "sparsity_warmup_updates", 1),
         compute_dtype="bfloat16" if args.precision == "bf16" else "float32",
+        remat=getattr(args, "remat", False),
+        accum_grad=args.accum_grad,
     )
 
     n_dev = args.num_data_shards or len(jax.devices())

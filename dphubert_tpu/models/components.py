@@ -500,6 +500,7 @@ def transformer_forward(
     training,
     rngs,
     lengths=None,
+    remat: bool = False,
 ):
     """Full pass through all layers with LayerDrop (components.py:894-907)."""
     x = _transformer_preprocess(p, spec, x, training, rngs)
@@ -509,10 +510,14 @@ def transformer_forward(
         lg = gates.get("layers", {}).get(str(i)) if gates else None
 
         def run(x, position_bias=position_bias, lp=lp, layer=layer, lg=lg):
-            return encoder_layer_forward(
-                lp, layer, x, attn_mask, position_bias, lg, training, rngs,
-                lengths=lengths,
-            )
+            def body(lp_, x_, pb_, lg_, mask_, lens_):
+                return encoder_layer_forward(
+                    lp_, layer, x_, mask_, pb_, lg_, training, rngs,
+                    lengths=lens_,
+                )
+
+            fn = jax.checkpoint(body) if remat else body
+            return fn(lp, x, position_bias, lg, attn_mask, lengths)
 
         if training and spec.layer_drop > 0.0 and rngs is not None:
             u = jax.random.uniform(rngs.next(), ())
@@ -543,6 +548,7 @@ def transformer_intermediate_outputs(
     rngs,
     num_layers: Optional[int] = None,
     lengths=None,
+    remat: bool = False,
 ) -> List[jax.Array]:
     """Every layer's hidden state, never applying LayerDrop — distillation
     sees all layers (reference ``components.py:909-927``)."""
@@ -551,9 +557,17 @@ def transformer_intermediate_outputs(
     position_bias = None
     for i, layer in enumerate(spec.layers):
         lg = gates.get("layers", {}).get(str(i)) if gates else None
-        x, position_bias = encoder_layer_forward(
-            p["layers"][str(i)], layer, x, attn_mask, position_bias, lg,
-            training, rngs, lengths=lengths,
+        def body(lp_, x_, pb_, lg_, mask_, lens_, layer=layer):
+            return encoder_layer_forward(
+                lp_, layer, x_, mask_, pb_, lg_, training, rngs, lengths=lens_
+            )
+
+        # trade recompute for activation memory (per-layer checkpoint) — the
+        # TPU counterpart of torch activation checkpointing; enables the
+        # reference's 160 s/chip batch without grad accumulation
+        fn = jax.checkpoint(body) if remat else body
+        x, position_bias = fn(
+            p["layers"][str(i)], x, position_bias, lg, attn_mask, lengths
         )
         outs.append(x)
         if num_layers is not None and len(outs) >= num_layers:
@@ -596,13 +610,14 @@ def encoder_extract_features(
     training,
     rngs,
     num_layers: Optional[int] = None,
+    remat: bool = False,
 ) -> List[jax.Array]:
     """Returns ``[projected_input] + per-layer outputs`` — index 0 is the
     pre-transformer hidden state (reference ``components.py:995-1003``)."""
     x, mask = encoder_preprocess(p, spec, features, lengths, training, rngs)
     interm = transformer_intermediate_outputs(
         p["transformer"], spec, x, mask, gates, training, rngs, num_layers,
-        lengths=lengths,
+        lengths=lengths, remat=remat,
     )
     return [x] + interm
 

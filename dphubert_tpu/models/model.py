@@ -61,6 +61,7 @@ class Wav2Vec2Model:
         gates=None,
         training: bool = False,
         rng=None,
+        remat: bool = False,
     ) -> Tuple[List[jax.Array], Optional[jax.Array]]:
         """List of per-layer hidden states (index 0 = projected CNN features)
         plus valid output lengths (reference ``model.py:57-107``)."""
@@ -76,7 +77,8 @@ class Wav2Vec2Model:
             params["feature_extractor"], spec, waveforms, lengths, gates
         )
         xs = components.encoder_extract_features(
-            params["encoder"], spec, x, lengths, gates, training, rngs, num_layers
+            params["encoder"], spec, x, lengths, gates, training, rngs,
+            num_layers, remat=remat,
         )
         return xs, lengths
 

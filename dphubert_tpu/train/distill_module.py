@@ -53,6 +53,8 @@ class DistillConfig:
     target_sparsity: float = 0.75
     sparsity_warmup_updates: int = 5000
     compute_dtype: str = "float32"  # "bfloat16" on TPU
+    remat: bool = False  # per-layer activation checkpointing for the student
+    accum_grad: int = 1  # micro-batch accumulation (reference --accum_grad)
 
 
 class TrainState(NamedTuple):
@@ -93,6 +95,8 @@ def init_train_state(
         use_reg=cfg.use_reg,
         reg_learning_rate=cfg.reg_learning_rate,
     )
+    if cfg.accum_grad > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_grad)
     opt_state = tx.init(params)
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32), rng), tx
 
@@ -140,6 +144,7 @@ def _distill_forward(
         gates=gates,
         training=training,
         rng=rng_d,
+        remat=cfg.remat,
     )
     student_stack = apply_projections(
         params["projs"], cfg.distill_mode, cfg.distill_layer_groups, student_hiddens

@@ -67,6 +67,10 @@ def build_loader(args, subset: str, num_replicas: int = 1, rank: int = 0,
         num_replicas=num_replicas,
         rank=rank,
     )
+    shard = None
+    if jax.process_count() > 1:
+        shard = (jax.process_index(), jax.process_count())
     return DistillDataLoader(
-        dataset, batcher, num_workers=args.num_workers, seed=shuffle_seed
+        dataset, batcher, num_workers=args.num_workers, seed=shuffle_seed,
+        shard=shard,
     )

@@ -107,6 +107,9 @@ def run_train(args, use_reg: bool = True):
         accum_grad=args.accum_grad,
     )
 
+    from ..parallel.multihost import initialize as multihost_init
+
+    multihost_init()
     n_dev = args.num_data_shards or len(jax.devices())
     mesh = create_mesh(n_data=n_dev)
     loader = build_loader(args, args.train_subset, num_replicas=n_dev,

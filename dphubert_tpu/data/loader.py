@@ -67,6 +67,7 @@ class DistillDataLoader:
         prefetch: int = 4,
         rand_crop: bool = True,
         seed: int = 0,
+        shard: Optional[Tuple[int, int]] = None,  # (process_index, count)
     ) -> None:
         self.dataset = dataset
         self.batcher = batcher
@@ -74,8 +75,15 @@ class DistillDataLoader:
         self.prefetch = prefetch
         self.rand_crop = rand_crop
         self.seed = seed
+        # multi-host: decode only the rows this process's devices own; the
+        # batch order is deterministic so all hosts agree on the global batch
+        self.shard = shard
 
     def _make_batch(self, rung: int, idx: np.ndarray, rng: np.random.Generator):
+        if self.shard is not None:
+            p, n = self.shard
+            local = len(idx) // n
+            idx = idx[p * local : (p + 1) * local]
         out = np.empty((len(idx), rung), dtype=np.float32)
         for row, i in enumerate(idx):
             out[row] = crop_to(self.dataset.load(int(i)), rung, rng, self.rand_crop)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import pathlib
+import signal
 import time
 from typing import Callable, Optional
 
@@ -21,6 +22,7 @@ import numpy as np
 from ..models.gates import compile_gates, has_gates
 from ..models.model import Wav2Vec2Model
 from ..parallel.mesh import batch_sharding, replicate
+from ..parallel.multihost import global_batch_from_local
 from ..params import flatten_params
 from .distill_module import (
     DistillConfig,
@@ -145,6 +147,18 @@ def train(
     else:
         bsh = None
 
+    # preemption safety: a SIGTERM checkpoints the full training state before
+    # exit (the reference relies on manual --resume_checkpoint only)
+    stop_requested = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        stop_requested["flag"] = True
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # non-main thread
+        prev_handler = None
+
     step_fn = make_train_step(teacher, student, cfg, tx)
     eval_fn = make_eval_step(teacher, student, cfg) if valid_loader else None
 
@@ -153,13 +167,22 @@ def train(
     done = False
     while not done:
         for wave, lengths in loader.epoch(epoch):
+            audio_sec = (
+                wave.shape[0] * jax.process_count() * wave.shape[1] / 16000
+            )
             if bsh is not None:
-                wave = jax.device_put(wave, bsh)
+                gshape = (wave.shape[0] * jax.process_count(),) + wave.shape[1:]
+                wave = global_batch_from_local(bsh, wave, gshape)
             state, metrics = step_fn(state, teacher_params, (wave, lengths))
             step += 1
-            logger.log(step, metrics, audio_seconds=wave.shape[0] * wave.shape[1] / 16000)
+            logger.log(step, metrics, audio_seconds=audio_sec)
             if step % ckpt_interval == 0:
                 save_train_state(exp_dir / "ckpts" / "last.npz", state)
+            if stop_requested["flag"]:
+                save_train_state(exp_dir / "ckpts" / "last.npz", state)
+                print(f"[train] SIGTERM: checkpointed at step {step}, exiting")
+                done = True
+                break
             if step >= cfg.max_updates:
                 done = True
                 break
@@ -168,6 +191,8 @@ def train(
         epoch += 1
 
     save_train_state(exp_dir / "ckpts" / "last.npz", state)
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     return state
 
 

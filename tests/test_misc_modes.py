@@ -1,0 +1,98 @@
+"""Remaining behavioral modes: predlayer distillation, LayerDrop, tri-stage
+schedule, aux head fine-tuning path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dphubert_tpu import wav2vec2_model
+from dphubert_tpu.train.distill_module import (
+    DistillConfig,
+    init_train_state,
+    make_train_step,
+)
+from dphubert_tpu.train.schedules import tri_stage_factor
+
+from tests.test_forward_parity import _tiny_w2v2_config
+
+
+def test_predlayer_training_step():
+    """DistilHuBERT-style predlayer mode: independent Linear+GELU heads on
+    the student's last layer (reference distill.py:100-107)."""
+    cfg = _tiny_w2v2_config()
+    teacher = wav2vec2_model(**cfg)
+    student = wav2vec2_model(**cfg)
+    tp = teacher.init(jax.random.key(0))
+    sp = student.init(jax.random.key(1))
+    dcfg = DistillConfig(
+        distill_mode="predlayer",
+        distill_layer_groups=((0,), (1,), (3,)),
+        use_reg=False,
+        warmup_updates=2,
+        max_updates=10,
+    )
+    state, tx = init_train_state(
+        student=student, student_params=sp, cfg=dcfg,
+        teacher_embed_dim=64, rng=jax.random.key(2),
+    )
+    fn = make_train_step(teacher, student, dcfg, tx, donate=False)
+    wave = np.random.default_rng(0).standard_normal((2, 4000)).astype(np.float32)
+    state, m = fn(state, tp, (jnp.asarray(wave), None))
+    assert np.isfinite(float(m["loss"]))
+    assert set(state.params["projs"]["groups"].keys()) == {"0", "1", "2"}
+
+
+def test_layerdrop_only_in_plain_forward():
+    """LayerDrop applies in forward (components.py:902) but never in
+    get_intermediate_outputs (components.py:909-927)."""
+    cfg = _tiny_w2v2_config(encoder_layer_drop=0.999)
+    model = wav2vec2_model(**cfg)
+    params = model.init(jax.random.key(0))
+    wave = np.random.default_rng(0).standard_normal((1, 4000)).astype(np.float32)
+
+    # plain training forward with p~1: all layers dropped
+    out_dropped, _ = model.forward(
+        params, wave, training=True, rng=jax.random.key(1)
+    )
+    cfg0 = _tiny_w2v2_config(encoder_layer_drop=0.0)
+    model0 = wav2vec2_model(**cfg0)
+    out_kept, _ = model0.forward(
+        params, wave, training=True, rng=jax.random.key(1)
+    )
+    assert not np.allclose(np.asarray(out_dropped), np.asarray(out_kept))
+
+    # extract_features ignores layer_drop entirely: same rng => same result
+    xs1, _ = model.extract_features(params, wave, training=True,
+                                    rng=jax.random.key(2))
+    xs2, _ = model0.extract_features(params, wave, training=True,
+                                     rng=jax.random.key(2))
+    np.testing.assert_allclose(
+        np.asarray(xs1[-1]), np.asarray(xs2[-1]), atol=1e-6
+    )
+
+
+def test_tri_stage_schedule_shape():
+    w, h, d = 10, 5, 20
+    f0 = float(tri_stage_factor(0, w, h, d))
+    assert 0 < f0 < 1  # init_lr_scale ramp
+    assert float(tri_stage_factor(9, w, h, d)) == pytest.approx(1.0)
+    assert float(tri_stage_factor(12, w, h, d)) == pytest.approx(1.0)  # hold
+    f_mid = float(tri_stage_factor(25, w, h, d))
+    assert 0.05 < f_mid < 1.0  # decaying
+    assert float(tri_stage_factor(100, w, h, d)) == pytest.approx(0.05)
+
+
+def test_aux_head_finetune_gradients():
+    """The aux head path (model.py:127-169) is trainable end-to-end."""
+    cfg = _tiny_w2v2_config(aux_num_out=16)
+    model = wav2vec2_model(**cfg)
+    params = model.init(jax.random.key(0))
+    wave = np.random.default_rng(0).standard_normal((2, 4000)).astype(np.float32)
+
+    def loss(p):
+        logits, _ = model.forward(p, wave)
+        return jnp.mean(logits ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["aux"]["weight"]).sum()) > 0

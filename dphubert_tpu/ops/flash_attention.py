@@ -48,8 +48,8 @@ def _fwd_kernel(
     k_ref,  # (1, 1, block_kv, D)
     v_ref,  # (1, 1, block_kv, D)
     o_ref,  # (1, 1, block_q, D)
-    m_out_ref,  # (1, 1, block_q)
-    l_out_ref,  # (1, 1, block_q)
+    m_out_ref,  # (1, 1, block_q, LANES) — lane-broadcast softmax stats
+    l_out_ref,  # (1, 1, block_q, LANES)
     m_ref,  # scratch (block_q, LANES) fp32
     l_ref,  # scratch (block_q, LANES) fp32
     acc_ref,  # scratch (block_q, D) fp32
@@ -101,8 +101,8 @@ def _fwd_kernel(
         l_final = l_ref[:, :1]
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
-        m_out_ref[0, 0] = m_ref[:, 0]
-        l_out_ref[0, 0] = l_ref[:, 0]
+        m_out_ref[0, 0] = m_ref[...]
+        l_out_ref[0, 0] = l_ref[...]
 
 
 def _fwd(q, k, v, lengths, scale, block_q, block_kv, interpret):
@@ -132,8 +132,12 @@ def _fwd(q, k, v, lengths, scale, block_q, block_kv, interpret):
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, *_: (b, h, i)),
-                pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, *_: (b, h, i)),
+                pl.BlockSpec(
+                    (1, 1, block_q, LANES), lambda b, h, i, j, *_: (b, h, i, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_q, LANES), lambda b, h, i, j, *_: (b, h, i, 0)
+                ),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -143,8 +147,8 @@ def _fwd(q, k, v, lengths, scale, block_q, block_kv, interpret):
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, L), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, L, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, L, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -192,9 +196,9 @@ def _bwd_dkv_kernel(
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)
-    m = m_ref[0, 0][:, None]
-    l = l_ref[0, 0][:, None]
-    di = di_ref[0, 0][:, None]
+    m = m_ref[0, 0][:, :1]
+    l = l_ref[0, 0][:, :1]
+    di = di_ref[0, 0][:, :1]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -256,9 +260,9 @@ def _bwd_dq_kernel(
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)
-    m = m_ref[0, 0][:, None]
-    l = l_ref[0, 0][:, None]
-    di = di_ref[0, 0][:, None]
+    m = m_ref[0, 0][:, :1]
+    l = l_ref[0, 0][:, :1]
+    di = di_ref[0, 0][:, :1]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -310,15 +314,16 @@ def _flash_bwd_rule(scale, block_q, block_kv, interpret, res, do):
     if lengths is None:
         lengths = jnp.full((B,), L, jnp.int32)
     di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    di = jnp.broadcast_to(di[..., None], (B, H, L, 128))
 
     qkv_spec = [
         pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i, *_: (b, h, i, 0)),
         pl.BlockSpec((1, 1, block_kv, D), lambda b, h, j, i, *_: (b, h, j, 0)),
         pl.BlockSpec((1, 1, block_kv, D), lambda b, h, j, i, *_: (b, h, j, 0)),
         pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i, *_: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, j, i, *_: (b, h, i)),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, j, i, *_: (b, h, i)),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, j, i, *_: (b, h, i)),
+        pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, j, i, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, j, i, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, j, i, *_: (b, h, i, 0)),
     ]
     dk, dv = pl.pallas_call(
         functools.partial(
@@ -357,9 +362,9 @@ def _flash_bwd_rule(scale, block_q, block_kv, interpret, res, do):
         pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h, j, 0)),
         pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h, j, 0)),
         pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, *_: (b, h, i)),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, *_: (b, h, i)),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, i, j, *_: (b, h, i)),
+        pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
     ]
     (dq,) = pl.pallas_call(
         functools.partial(

@@ -68,13 +68,19 @@ def main():
     state, m = step_fn(state, teacher_params, batch)
     float(m["loss"])
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, m = step_fn(state, teacher_params, batch)
-    final_loss = float(m["loss"])  # forces the whole chained sequence
-    dt = (time.perf_counter() - t0) / n_iters
-    assert np.isfinite(final_loss)
+    # Several chained runs; report the median chain (the shared-tunnel
+    # environment shows ~2x run-to-run variance).  Each chain is long enough
+    # to amortize dispatch overhead, and the value fetch is the fence.
+    n_chains, n_iters = 5, 20
+    times = []
+    for _ in range(n_chains):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, m = step_fn(state, teacher_params, batch)
+        final_loss = float(m["loss"])  # forces the whole chained sequence
+        times.append((time.perf_counter() - t0) / n_iters)
+        assert np.isfinite(final_loss)
+    dt = sorted(times)[len(times) // 2]
 
     value = audio_sec / dt
     print(
@@ -86,6 +92,7 @@ def main():
                 "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP, 3),
                 "detail": {
                     "step_time_s": round(dt, 4),
+                    "chain_step_times_s": [round(t, 4) for t in times],
                     "batch_audio_sec": audio_sec,
                     "batch_shape": [B, T],
                     "model": "hubert_base distill step (teacher fwd + gated "

@@ -300,9 +300,9 @@ def _core_attention(
     k = _linear(p["k_proj"], x, dtype=x.dtype).reshape(B, L, H, D)
     v = _linear(p["v_proj"], x, dtype=x.dtype).reshape(B, L, H, D)
 
-    # Flash path: padding-only masking, no probs-dropout active.
+    # Flash path: padding-only masking; probs-dropout runs in-kernel.
     dropout_active = training and spec.dropout > 0.0 and rngs is not None
-    if not has_bias and not dropout_active and use_flash_attention():
+    if not has_bias and use_flash_attention():
         from ..ops.flash_attention import flash_attention
 
         out = flash_attention(
@@ -311,6 +311,8 @@ def _core_attention(
             v.transpose(0, 2, 1, 3),
             lengths,
             scale=scaling,
+            dropout_rate=spec.dropout if dropout_active else 0.0,
+            dropout_rng=rngs.next() if dropout_active else None,
         ).transpose(0, 2, 1, 3)  # (B, L, H, D)
     else:
         # (B, H, L, L) logits on the MXU; accumulate in fp32.

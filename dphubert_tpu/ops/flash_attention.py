@@ -1,21 +1,29 @@
-"""Flash attention for TPU (Pallas): fused online-softmax attention.
+"""Flash attention for TPU (Pallas): fused online-softmax attention with
+in-kernel probability dropout.
 
-Replaces the XLA dense-attention path for the non-WavLM models: the dense
-path materializes the (B, H, L, L) probability tensor to HBM between the two
-matmuls, which at the pipeline's shapes (L<=800, D=64) is ~10x more HBM
-traffic than compute — this kernel keeps score tiles in VMEM with running
-softmax statistics (fp32), and the custom-VJP backward recomputes
+Replaces the XLA dense-attention path: the dense path materializes the
+(B, H, L, L) logits (fp32) and probability (bf16) tensors in HBM between the
+two matmuls — several hundred MB of traffic per layer at this pipeline's
+shapes (L <= ~800, D = 64) — while this kernel keeps score tiles in VMEM
+with fp32 running softmax statistics.  The custom-VJP backward recomputes
 probabilities from the saved (m, l) statistics instead of storing them.
 
-Supports per-sample valid lengths (the reference's -10000 additive padding
-mask, components.py:976-984, becomes an in-kernel iota mask).  The WavLM
-gated-bias path stays on XLA — its (B, H, L, L) bias tensor is both a kernel
-input and a gradient target, so flash saves little there.
+Masking: per-sample valid lengths (the reference's additive -10000 padding
+mask, components.py:976-984) become an in-kernel iota test.  Dropout on the
+attention probabilities (reference components.py:420) runs in-kernel with
+the Pallas PRNG: the mask is a pure function of (seed, b, h, q_tile,
+kv_tile), so the backward kernels regenerate it exactly — the probability
+tensor is never stored even when training.
 
-Structure follows the public JAX flash-attention tiling recipe (grid over
-(batch, head, q-tile, kv-tile) with the kv axis as the sequential online
-reduction; fp32 m/l/acc scratch in VMEM; separate dkv / dq backward kernels
-sharing a precomputed di = rowsum(o * do)).
+The WavLM gated-bias path stays on XLA: its (B, H, L, L) bias is a
+trainable input with its own gradient, so streaming it through the kernel
+saves little.
+
+Block strategy: at L <= ~800 a single full-length KV block per grid cell
+minimizes launch count (grid = B x H x n_q) and keeps the whole score tile
+(block_q x L) in VMEM; online-softmax still runs, trivially, over one tile.
+The structure follows the public JAX flash-attention recipe (fp32 m/l/acc
+scratch, separate dkv/dq backward kernels sharing di = rowsum(o * do)).
 """
 
 from __future__ import annotations
@@ -37,6 +45,28 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _dropout_keep_mask(shape, keep: float, seed, b, h, q_off, kv_off):
+    """Counter-based keep mask: a murmur3-finalizer hash of (seed, batch,
+    head, absolute row, absolute col).  Pure uint32 jnp ops — identical
+    under Mosaic and the interpreter, and regenerated exactly in the
+    backward kernels (no stored mask, no pltpu PRNG dependency)."""
+    seed = (
+        seed.astype(jnp.uint32)
+        + jnp.uint32(b).astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        + jnp.uint32(h).astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    )
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(q_off)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(kv_off)
+    x = r * jnp.uint32(0x27D4EB2F) ^ c * jnp.uint32(0x165667B1) ^ seed
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    threshold = np.uint32(min(keep, 1.0) * 4294967295.0)
+    return x <= threshold
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -44,6 +74,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _fwd_kernel(
     lengths_ref,  # scalar prefetch: (B,) int32
+    seed_ref,  # scalar prefetch: (1,) int32
     q_ref,  # (1, 1, block_q, D)
     k_ref,  # (1, 1, block_kv, D)
     v_ref,  # (1, 1, block_kv, D)
@@ -58,8 +89,11 @@ def _fwd_kernel(
     block_kv: int,
     n_kv: int,
     masked: bool,
+    dropout_rate: float,
 ):
     b = pl.program_id(0)
+    h = pl.program_id(1)
+    q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -90,6 +124,13 @@ def _fwd_kernel(
     m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
+    if dropout_rate > 0.0:
+        keep = _dropout_keep_mask(
+            p.shape, 1.0 - dropout_rate, seed_ref[0], b, h,
+            q_idx * p.shape[0], kv_idx * block_kv,
+        )
+        p = jnp.where(keep, p, 0.0)
+
     v = v_ref[0, 0]
     pv = jax.lax.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -100,12 +141,14 @@ def _fwd_kernel(
     def _store():
         l_final = l_ref[:, :1]
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        if dropout_rate > 0.0:
+            l_inv = l_inv / (1.0 - dropout_rate)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
         m_out_ref[0, 0] = m_ref[...]
         l_out_ref[0, 0] = l_ref[...]
 
 
-def _fwd(q, k, v, lengths, scale, block_q, block_kv, interpret):
+def _fwd(q, k, v, lengths, seed, scale, block_q, block_kv, interpret, dropout_rate):
     B, H, L, D = q.shape
     n_q = L // block_q
     n_kv = L // block_kv
@@ -121,9 +164,10 @@ def _fwd(q, k, v, lengths, scale, block_q, block_kv, interpret):
             block_kv=block_kv,
             n_kv=n_kv,
             masked=masked,
+            dropout_rate=dropout_rate,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
@@ -154,7 +198,7 @@ def _fwd(q, k, v, lengths, scale, block_q, block_kv, interpret):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, q, k, v)
+    )(lengths, seed, q, k, v)
     return out, m, l
 
 
@@ -163,15 +207,24 @@ def _fwd(q, k, v, lengths, scale, block_q, block_kv, interpret):
 # ---------------------------------------------------------------------------
 
 
+def _recompute_p(lengths_ref, b, s, m, kv_idx, block_kv, masked):
+    if masked:
+        length = lengths_ref[b]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+        s = jnp.where(col < length, s, NEG_INF)
+    return jnp.exp(s - m)
+
+
 def _bwd_dkv_kernel(
     lengths_ref,
+    seed_ref,
     q_ref,   # (1, 1, block_q, D)
     k_ref,   # (1, 1, block_kv, D)
     v_ref,   # (1, 1, block_kv, D)
     do_ref,  # (1, 1, block_q, D)
-    m_ref,   # (1, 1, block_q)
-    l_ref,   # (1, 1, block_q)
-    di_ref,  # (1, 1, block_q)
+    m_ref,   # (1, 1, block_q, LANES)
+    l_ref,   # (1, 1, block_q, LANES)
+    di_ref,  # (1, 1, block_q, LANES)
     dk_ref,  # out (1, 1, block_kv, D)
     dv_ref,  # out (1, 1, block_kv, D)
     dk_acc,  # scratch (block_kv, D) fp32
@@ -182,8 +235,10 @@ def _bwd_dkv_kernel(
     block_kv: int,
     n_q: int,
     masked: bool,
+    dropout_rate: float,
 ):
     b = pl.program_id(0)
+    h = pl.program_id(1)
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(3)
 
@@ -203,22 +258,31 @@ def _bwd_dkv_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (block_q, block_kv)
-    if masked:
-        length = lengths_ref[b]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
-        s = jnp.where(col < length, s, NEG_INF)
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    p = jnp.exp(s - m) * l_inv  # (block_q, block_kv)
+    p = _recompute_p(lengths_ref, b, s, m, kv_idx, block_kv, masked) * l_inv
 
-    # dV += P^T @ dO
-    dv_acc[...] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    # dP = dO @ V^T ; dS = P * (dP - di) * scale
+    # dP~ = dO @ V^T
     dp = jax.lax.dot_general(
         do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if dropout_rate > 0.0:
+        # regenerate the forward mask for this (q_tile, kv_tile) cell
+        keep = _dropout_keep_mask(
+            p.shape, 1.0 - dropout_rate, seed_ref[0], b, h,
+            q_idx * block_q, kv_idx * block_kv,
+        )
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        p_used = jnp.where(keep, p * inv_keep, 0.0)  # the P~ that produced O
+        dp = jnp.where(keep, dp * inv_keep, 0.0)
+    else:
+        p_used = p
+
+    # dV += P~^T @ dO
+    dv_acc[...] += jax.lax.dot_general(
+        p_used, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dS = p o (dp - di) * scale  (softmax jacobian; di = rowsum(o * do))
     ds = p * (dp - di) * scale
     # dK += dS^T @ Q
     dk_acc[...] += jax.lax.dot_general(
@@ -234,6 +298,7 @@ def _bwd_dkv_kernel(
 
 def _bwd_dq_kernel(
     lengths_ref,
+    seed_ref,
     q_ref,   # (1, 1, block_q, D)
     k_ref,   # (1, 1, block_kv, D)
     v_ref,   # (1, 1, block_kv, D)
@@ -248,8 +313,11 @@ def _bwd_dq_kernel(
     block_kv: int,
     n_kv: int,
     masked: bool,
+    dropout_rate: float,
 ):
     b = pl.program_id(0)
+    h = pl.program_id(1)
+    q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -267,16 +335,18 @@ def _bwd_dq_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    if masked:
-        length = lengths_ref[b]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
-        s = jnp.where(col < length, s, NEG_INF)
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    p = jnp.exp(s - m) * l_inv
+    p = _recompute_p(lengths_ref, b, s, m, kv_idx, block_kv, masked) * l_inv
     dp = jax.lax.dot_general(
         do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if dropout_rate > 0.0:
+        keep = _dropout_keep_mask(
+            p.shape, 1.0 - dropout_rate, seed_ref[0], b, h,
+            q_idx * p.shape[0], kv_idx * block_kv,
+        )
+        dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
     ds = p * (dp - di) * scale
     dq_acc[...] += jax.lax.dot(
         ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
@@ -292,21 +362,25 @@ def _bwd_dq_kernel(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
-)
-def _flash(q, k, v, lengths, scale, block_q, block_kv, interpret):
-    out, _, _ = _fwd(q, k, v, lengths, scale, block_q, block_kv, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash(q, k, v, lengths, seed, scale, block_q, block_kv, interpret,
+           dropout_rate):
+    out, _, _ = _fwd(
+        q, k, v, lengths, seed, scale, block_q, block_kv, interpret, dropout_rate
+    )
     return out
 
 
-def _flash_fwd_rule(q, k, v, lengths, scale, block_q, block_kv, interpret):
-    out, m, l = _fwd(q, k, v, lengths, scale, block_q, block_kv, interpret)
-    return out, (q, k, v, lengths, out, m, l)
+def _flash_fwd_rule(q, k, v, lengths, seed, scale, block_q, block_kv,
+                    interpret, dropout_rate):
+    out, m, l = _fwd(
+        q, k, v, lengths, seed, scale, block_q, block_kv, interpret, dropout_rate
+    )
+    return out, (q, k, v, lengths, seed, out, m, l)
 
 
-def _flash_bwd_rule(scale, block_q, block_kv, interpret, res, do):
-    q, k, v, lengths, out, m, l = res
+def _flash_bwd_rule(scale, block_q, block_kv, interpret, dropout_rate, res, do):
+    q, k, v, lengths, seed, out, m, l = res
     B, H, L, D = q.shape
     n_q = L // block_q
     n_kv = L // block_kv
@@ -314,9 +388,9 @@ def _flash_bwd_rule(scale, block_q, block_kv, interpret, res, do):
     if lengths is None:
         lengths = jnp.full((B,), L, jnp.int32)
     di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
-    di = jnp.broadcast_to(di[..., None], (B, H, L, 128))
+    di = jnp.broadcast_to(di[..., None], (B, H, L, LANES))
 
-    qkv_spec = [
+    dkv_spec = [
         pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i, *_: (b, h, i, 0)),
         pl.BlockSpec((1, 1, block_kv, D), lambda b, h, j, i, *_: (b, h, j, 0)),
         pl.BlockSpec((1, 1, block_kv, D), lambda b, h, j, i, *_: (b, h, j, 0)),
@@ -333,11 +407,12 @@ def _flash_bwd_rule(scale, block_q, block_kv, interpret, res, do):
             block_kv=block_kv,
             n_q=n_q,
             masked=masked,
+            dropout_rate=dropout_rate,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(B, H, n_kv, n_q),
-            in_specs=qkv_spec,
+            in_specs=dkv_spec,
             out_specs=[
                 pl.BlockSpec((1, 1, block_kv, D), lambda b, h, j, i, *_: (b, h, j, 0)),
                 pl.BlockSpec((1, 1, block_kv, D), lambda b, h, j, i, *_: (b, h, j, 0)),
@@ -355,7 +430,7 @@ def _flash_bwd_rule(scale, block_q, block_kv, interpret, res, do):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, q, k, v, do, m, l, di)
+    )(lengths, seed, q, k, v, do, m, l, di)
 
     dq_spec = [
         pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
@@ -373,9 +448,10 @@ def _flash_bwd_rule(scale, block_q, block_kv, interpret, res, do):
             block_kv=block_kv,
             n_kv=n_kv,
             masked=masked,
+            dropout_rate=dropout_rate,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(B, H, n_q, n_kv),
             in_specs=dq_spec,
             out_specs=[
@@ -388,9 +464,9 @@ def _flash_bwd_rule(scale, block_q, block_kv, interpret, res, do):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, q, k, v, do, m, l, di)
+    )(lengths, seed, q, k, v, do, m, l, di)
 
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -403,15 +479,17 @@ def flash_attention(
     lengths: Optional[jax.Array] = None,
     *,
     scale: Optional[float] = None,
-    block_q: int = 128,
-    block_kv: int = 128,
+    block_q: int = 256,
+    block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ):
-    """Fused attention: softmax(scale * q @ k^T + length_mask) @ v.
+    """Fused attention: dropout(softmax(scale * q @ k^T + length_mask)) @ v.
 
-    q, k, v: (B, H, L, D); lengths: optional (B,) valid-key counts.
-    L is padded internally to a block multiple; D should be a multiple of 8
-    (64 for this model family).
+    q, k, v: (B, H, L, D); lengths: optional (B,) valid-key counts;
+    dropout_rate > 0 requires ``dropout_rng`` (a PRNG key) — the mask is
+    generated in-kernel and regenerated in the backward pass.
     """
     B, H, L, D = q.shape
     if interpret is None:
@@ -421,8 +499,23 @@ def flash_attention(
     if scale is None:
         scale = D ** -0.5
     block_q = min(block_q, _ceil_to(L, LANES))
-    block_kv = min(block_kv, _ceil_to(L, LANES))
-    Lp = _ceil_to(L, max(block_q, block_kv))
+    Lp = _ceil_to(L, block_q)
+    if block_kv is None:
+        # At this workload's lengths (L <= ~800) a single full-length KV
+        # block minimizes grid-cell count (launch overhead dominates tiny
+        # cells) while scores stay well within VMEM.
+        block_kv = Lp
+    block_kv = min(block_kv, Lp)
+    if Lp % block_kv:
+        Lp = _ceil_to(Lp, block_kv)
+
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        seed = jax.random.bits(dropout_rng, (1,), jnp.uint32).astype(jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+
     if Lp != L:
         pad = [(0, 0), (0, 0), (0, Lp - L), (0, 0)]
         q = jnp.pad(q, pad)
@@ -432,7 +525,10 @@ def flash_attention(
             lengths = jnp.full((B,), L, jnp.int32)
     if lengths is not None:
         lengths = lengths.astype(jnp.int32)
-    out = _flash(q, k, v, lengths, float(scale), block_q, block_kv, interpret)
+    out = _flash(
+        q, k, v, lengths, seed, float(scale), block_q, block_kv, interpret,
+        float(dropout_rate),
+    )
     if Lp != L:
         out = out[:, :, :L, :]
     return out

@@ -116,3 +116,65 @@ def test_non_multiple_length_padding():
     ref = dense_reference(q, k, v)
     assert out.shape == (B, H, L, D)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_dropout_deterministic_and_unbiased():
+    import jax
+
+    rng = np.random.default_rng(5)
+    B, H, L, D = 1, 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+
+    key = jax.random.key(0)
+    a1 = flash_attention(q, k, v, dropout_rate=0.3, dropout_rng=key,
+                         interpret=True)
+    a2 = flash_attention(q, k, v, dropout_rate=0.3, dropout_rng=key,
+                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    a3 = flash_attention(q, k, v, dropout_rate=0.3,
+                         dropout_rng=jax.random.key(1), interpret=True)
+    assert not np.allclose(np.asarray(a1), np.asarray(a3))
+
+    # expectation over seeds approaches the no-dropout output
+    outs = [
+        np.asarray(
+            flash_attention(q, k, v, dropout_rate=0.3,
+                            dropout_rng=jax.random.key(i), interpret=True)
+        )
+        for i in range(24)
+    ]
+    mean = np.mean(outs, axis=0)
+    ref = np.asarray(dense_reference(q, k, v))
+    err = np.abs(mean - ref).mean() / (np.abs(ref).mean() + 1e-6)
+    assert err < 0.2, err
+
+
+def test_dropout_gradients_finite_and_mask_consistent():
+    import jax
+
+    rng = np.random.default_rng(6)
+    B, H, L, D = 1, 1, 128, 64
+    q = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    key = jax.random.key(7)
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, dropout_rate=0.25, dropout_rng=key,
+                            interpret=True)
+        return jnp.sum(o * o)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+    # dV sanity via finite differences on one element (same in-kernel mask
+    # regenerates across fwd/bwd because the seed is fixed)
+    eps = 1e-3
+    e = jnp.zeros_like(v).at[0, 0, 3, 5].set(eps)
+    f1 = loss(q, k, v + e)
+    f0 = loss(q, k, v - e)
+    fd = float((f1 - f0) / (2 * eps))
+    an = float(np.asarray(grads[2])[0, 0, 3, 5])
+    assert abs(fd - an) < 5e-2 * max(1.0, abs(fd)), (fd, an)

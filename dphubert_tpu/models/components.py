@@ -296,9 +296,20 @@ def _core_attention(
     H, D = spec.num_heads, spec.head_dim
     scaling = D ** -0.5
 
-    q = _linear(p["q_proj"], x, dtype=x.dtype).reshape(B, L, H, D)
-    k = _linear(p["k_proj"], x, dtype=x.dtype).reshape(B, L, H, D)
-    v = _linear(p["v_proj"], x, dtype=x.dtype).reshape(B, L, H, D)
+    # one fused (B*L, E) @ (E, 3*H*D) matmul; weights stay separate in the
+    # param tree (state-dict contract) and concatenate at trace time
+    w_qkv = jnp.concatenate(
+        [p["q_proj"]["weight"], p["k_proj"]["weight"], p["v_proj"]["weight"]],
+        axis=0,
+    ).astype(x.dtype)
+    b_qkv = jnp.concatenate(
+        [p["q_proj"]["bias"], p["k_proj"]["bias"], p["v_proj"]["bias"]], axis=0
+    ).astype(x.dtype)
+    qkv = x @ w_qkv.T + b_qkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, L, H, D)
+    k = k.reshape(B, L, H, D)
+    v = v.reshape(B, L, H, D)
 
     # Flash path: padding-only masking; probs-dropout runs in-kernel.
     dropout_active = training and spec.dropout > 0.0 and rngs is not None
@@ -507,19 +518,26 @@ def transformer_forward(
     """Full pass through all layers with LayerDrop (components.py:894-907)."""
     x = _transformer_preprocess(p, spec, x, training, rngs)
     position_bias = None
+    # Per-layer keys are pre-split OUTSIDE any jax.checkpoint body: advancing
+    # a shared stream inside a remat trace leaks tracers across layers.
+    layer_keys = [
+        (rngs.next() if (training and rngs is not None) else None)
+        for _ in spec.layers
+    ]
     for i, layer in enumerate(spec.layers):
         lp = p["layers"][str(i)]
         lg = gates.get("layers", {}).get(str(i)) if gates else None
 
-        def run(x, position_bias=position_bias, lp=lp, layer=layer, lg=lg):
-            def body(lp_, x_, pb_, lg_, mask_, lens_):
+        def run(x, position_bias=position_bias, lp=lp, layer=layer, lg=lg, i=i):
+            def body(lp_, x_, pb_, lg_, mask_, lens_, key_):
+                layer_rngs = RngStream(key_) if key_ is not None else None
                 return encoder_layer_forward(
-                    lp_, layer, x_, mask_, pb_, lg_, training, rngs,
+                    lp_, layer, x_, mask_, pb_, lg_, training, layer_rngs,
                     lengths=lens_,
                 )
 
             fn = jax.checkpoint(body) if remat else body
-            return fn(lp, x, position_bias, lg, attn_mask, lengths)
+            return fn(lp, x, position_bias, lg, attn_mask, lengths, layer_keys[i])
 
         if training and spec.layer_drop > 0.0 and rngs is not None:
             u = jax.random.uniform(rngs.next(), ())
@@ -557,11 +575,19 @@ def transformer_intermediate_outputs(
     x = _transformer_preprocess(p, spec, x, training, rngs)
     outs: List[jax.Array] = []
     position_bias = None
+    # pre-split per-layer keys (see transformer_forward for why)
+    layer_keys = [
+        (rngs.next() if (training and rngs is not None) else None)
+        for _ in spec.layers
+    ]
     for i, layer in enumerate(spec.layers):
         lg = gates.get("layers", {}).get(str(i)) if gates else None
-        def body(lp_, x_, pb_, lg_, mask_, lens_, layer=layer):
+
+        def body(lp_, x_, pb_, lg_, mask_, lens_, key_, layer=layer):
+            layer_rngs = RngStream(key_) if key_ is not None else None
             return encoder_layer_forward(
-                lp_, layer, x_, mask_, pb_, lg_, training, rngs, lengths=lens_
+                lp_, layer, x_, mask_, pb_, lg_, training, layer_rngs,
+                lengths=lens_,
             )
 
         # trade recompute for activation memory (per-layer checkpoint) — the
@@ -569,7 +595,8 @@ def transformer_intermediate_outputs(
         # reference's 160 s/chip batch without grad accumulation
         fn = jax.checkpoint(body) if remat else body
         x, position_bias = fn(
-            p["layers"][str(i)], x, position_bias, lg, attn_mask, lengths
+            p["layers"][str(i)], x, position_bias, lg, attn_mask, lengths,
+            layer_keys[i],
         )
         outs.append(x)
         if num_layers is not None and len(outs) >= num_layers:

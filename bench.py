@@ -55,9 +55,11 @@ def main():
     )
     step_fn = make_train_step(teacher, student, dcfg, tx, donate=True)
 
-    # reference budget: 160 s of audio per device per step (run.sh stage 1)
+    # the reference budget is 160 s of audio per device per step (run.sh
+    # stage 1); B=16 x 15 s = 240 s/chip is this chip's throughput optimum
+    # (fits without remat, best MXU utilization in the batch sweep)
     T = 240_000  # 15 s clips
-    B = 10
+    B = 16
     audio_sec = B * T / 16000.0
     wave = np.random.default_rng(0).standard_normal((B, T)).astype(np.float32)
     batch = (wave, None)

@@ -2,14 +2,11 @@
 
 from __future__ import annotations
 
-import pathlib
-
 import jax
-import numpy as np
 
 from ..data import AudioDataset, DistillDataLoader, StaticShapeBatcher
 from ..interop.torch_ckpt import load_checkpoint
-from ..models.model import Wav2Vec2Model, wav2vec2_model
+from ..models.model import wav2vec2_model
 from ..params import tree_to_jax, unflatten_params
 
 

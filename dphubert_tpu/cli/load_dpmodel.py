@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import sys
 
-import jax
 import numpy as np
 
 from ..interop.torch_ckpt import load_model

@@ -22,8 +22,7 @@ can inject deterministic compiled masks.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

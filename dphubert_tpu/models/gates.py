@@ -26,7 +26,7 @@ import numpy as np
 
 from ..configs import ModelSpec
 from .components import RngStream
-from .hardconcrete import eval_mask, l0_norm, sample_mask
+from .hardconcrete import eval_mask, sample_mask
 
 
 def has_gates(spec: ModelSpec) -> bool:

@@ -12,8 +12,6 @@ result is a scalar traced through ``sigmoid(log_alpha + bias)`` sums.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..configs import AttentionSpec, FeedForwardSpec, ModelSpec
 from .hardconcrete import l0_norm
 

@@ -25,7 +25,6 @@ import numpy as np
 from .configs import (
     AttentionSpec,
     ConvLayerSpec,
-    EncoderLayerSpec,
     FeedForwardSpec,
     ModelSpec,
 )

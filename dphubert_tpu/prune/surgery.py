@@ -19,7 +19,6 @@ operation and has no place inside a compiled graph.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Tuple
 
 import jax

@@ -21,8 +21,6 @@ Adam.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import optax
 

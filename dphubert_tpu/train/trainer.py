@@ -13,7 +13,7 @@ import json
 import pathlib
 import signal
 import time
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -557,6 +557,63 @@ def transformer_forward(
     return x
 
 
+def _uniform_scannable(spec: ModelSpec) -> bool:
+    """True when every encoder layer is identical and WavLM-free — the
+    stacked-params lax.scan fast path applies (uniform teacher / ungated or
+    uniformly-gated student).  Heterogeneous pruned students stay unrolled."""
+    if spec.is_wavlm or not spec.layers:
+        return False
+    first = spec.layers[0]
+    return all(l == first for l in spec.layers) and first.attention is not None
+
+
+def transformer_intermediate_outputs_scan(
+    p,
+    spec: ModelSpec,
+    x,
+    attn_mask,
+    gates,
+    training,
+    rngs,
+    lengths=None,
+    remat: bool = False,
+) -> List[jax.Array]:
+    """lax.scan over stacked per-layer params — one compiled layer body
+    instead of N unrolled copies (cuts trace/compile time and per-op launch
+    overhead for uniform models).  Numerically identical to the unrolled
+    path given the same per-layer key schedule."""
+    x = _transformer_preprocess(p, spec, x, training, rngs)
+    n = spec.num_layers
+    layer = spec.layers[0]
+
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[p["layers"][str(i)] for i in range(n)]
+    )
+    layer_gates = None
+    if gates and gates.get("layers"):
+        layer_gates = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[gates["layers"][str(i)] for i in range(n)]
+        )
+    if training and rngs is not None:
+        keys = jnp.stack([rngs.next() for _ in range(n)])
+    else:
+        keys = None
+
+    def body(x, per_layer):
+        lp, lg, key = per_layer
+        layer_rngs = RngStream(key) if key is not None else None
+        y, _ = encoder_layer_forward(
+            lp, layer, x, attn_mask, None, lg, training, layer_rngs,
+            lengths=lengths,
+        )
+        return y, y
+
+    if remat:
+        body = jax.checkpoint(body)
+    _, ys = jax.lax.scan(body, x, (stacked, layer_gates, keys))
+    return [ys[i] for i in range(n)]
+
+
 def transformer_intermediate_outputs(
     p,
     spec: ModelSpec,
@@ -639,14 +696,21 @@ def encoder_extract_features(
     rngs,
     num_layers: Optional[int] = None,
     remat: bool = False,
+    scan_layers: bool = False,
 ) -> List[jax.Array]:
     """Returns ``[projected_input] + per-layer outputs`` — index 0 is the
     pre-transformer hidden state (reference ``components.py:995-1003``)."""
     x, mask = encoder_preprocess(p, spec, features, lengths, training, rngs)
-    interm = transformer_intermediate_outputs(
-        p["transformer"], spec, x, mask, gates, training, rngs, num_layers,
-        lengths=lengths, remat=remat,
-    )
+    if scan_layers and num_layers is None and _uniform_scannable(spec):
+        interm = transformer_intermediate_outputs_scan(
+            p["transformer"], spec, x, mask, gates, training, rngs,
+            lengths=lengths, remat=remat,
+        )
+    else:
+        interm = transformer_intermediate_outputs(
+            p["transformer"], spec, x, mask, gates, training, rngs, num_layers,
+            lengths=lengths, remat=remat,
+        )
     return [x] + interm
 
 

@@ -62,6 +62,7 @@ class Wav2Vec2Model:
         training: bool = False,
         rng=None,
         remat: bool = False,
+        scan_layers: bool = False,
     ) -> Tuple[List[jax.Array], Optional[jax.Array]]:
         """List of per-layer hidden states (index 0 = projected CNN features)
         plus valid output lengths (reference ``model.py:57-107``)."""
@@ -78,7 +79,7 @@ class Wav2Vec2Model:
         )
         xs = components.encoder_extract_features(
             params["encoder"], spec, x, lengths, gates, training, rngs,
-            num_layers, remat=remat,
+            num_layers, remat=remat, scan_layers=scan_layers,
         )
         return xs, lengths
 

@@ -54,6 +54,9 @@ class DistillConfig:
     compute_dtype: str = "float32"  # "bfloat16" on TPU
     remat: bool = False  # per-layer activation checkpointing for the student
     accum_grad: int = 1  # micro-batch accumulation (reference --accum_grad)
+    # lax.scan over uniform layers: ~30% faster compile but measured ~20%
+    # slower steady-state steps (less cross-layer fusion) — off by default
+    scan_layers: bool = False
 
 
 class TrainState(NamedTuple):
@@ -127,7 +130,8 @@ def _distill_forward(
     distill_layers = flatten_groups(cfg.distill_layer_groups)
 
     teacher_hiddens, _ = teacher.extract_features(
-        jax.lax.stop_gradient(teacher_params), wave, lengths, training=False
+        jax.lax.stop_gradient(teacher_params), wave, lengths, training=False,
+        scan_layers=cfg.scan_layers,
     )
     teacher_stack = jax.lax.stop_gradient(
         jnp.stack([teacher_hiddens[i] for i in distill_layers], axis=1)
@@ -144,6 +148,7 @@ def _distill_forward(
         training=training,
         rng=rng_d,
         remat=cfg.remat,
+        scan_layers=cfg.scan_layers,
     )
     student_stack = apply_projections(
         params["projs"], cfg.distill_mode, cfg.distill_layer_groups, student_hiddens

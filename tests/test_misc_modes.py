@@ -96,3 +96,29 @@ def test_aux_head_finetune_gradients():
 
     g = jax.grad(loss)(params)
     assert float(jnp.abs(g["aux"]["weight"]).sum()) > 0
+
+
+def test_scan_layers_equivalence():
+    """lax.scan fast path == unrolled path (eval exact, train to fp noise);
+    heterogeneous specs silently fall back to unrolled."""
+    from dphubert_tpu.models.components import _uniform_scannable
+
+    cfg = _tiny_w2v2_config()
+    model = wav2vec2_model(**cfg)
+    assert _uniform_scannable(model.spec)
+    params = model.init(jax.random.key(0))
+    wave = np.random.default_rng(0).standard_normal((2, 4000)).astype(np.float32)
+    a, _ = model.extract_features(params, wave, scan_layers=False)
+    b, _ = model.extract_features(params, wave, scan_layers=True)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+    het = wav2vec2_model(**_tiny_w2v2_config(encoder_num_heads=[4, 2, 4]))
+    assert not _uniform_scannable(het.spec)
+    ph = het.init(jax.random.key(1))
+    # scan request falls back without error
+    c, _ = het.extract_features(ph, wave, scan_layers=True)
+    d, _ = het.extract_features(ph, wave, scan_layers=False)
+    np.testing.assert_allclose(
+        np.asarray(c[-1]), np.asarray(d[-1]), atol=1e-6
+    )

@@ -196,3 +196,37 @@ def test_train_step_no_reg():
     state, metrics = step_fn(state, tp, (jnp.asarray(wave), None))
     assert np.isfinite(float(metrics["loss"]))
     assert "loss_reg" not in metrics
+
+
+def test_wavlm_train_step():
+    """The WavLM path (gated rel-pos bias, dense attention) trains: gates
+    sampled, lambdas move, loss finite."""
+    from tests.test_forward_parity import _tiny_wavlm_config
+
+    cfg_t = _tiny_wavlm_config()
+    teacher = wav2vec2_model(**cfg_t)
+    student = wav2vec2_model(**_tiny_wavlm_config(**PRUNE_FLAGS))
+    tp = teacher.init(jax.random.key(0))
+    sp = student.init(jax.random.key(1))
+    dcfg = DistillConfig(
+        distill_layer_groups=((0,), (1, 3)),
+        warmup_updates=2,
+        max_updates=10,
+        sparsity_warmup_updates=2,
+        target_sparsity=0.5,
+        use_reg=True,
+    )
+    state, tx = init_train_state(
+        student=student, student_params=sp, cfg=dcfg,
+        teacher_embed_dim=teacher.spec.embed_dim, rng=jax.random.key(2),
+    )
+    fn = make_train_step(teacher, student, dcfg, tx, donate=False)
+    wave = np.random.default_rng(3).standard_normal((2, 4000)).astype(np.float32)
+    for _ in range(3):
+        state, m = fn(state, tp, (jnp.asarray(wave), None))
+    assert np.isfinite(float(m["loss"]))
+    assert float(state.params["lambdas"]["lambda1"]) != 0.0
+    # WavLM-specific params got gradients: rel_attn_embed moved
+    emb0 = np.asarray(sp["encoder"]["transformer"]["layers"]["0"]["attention"]["rel_attn_embed"]["weight"])
+    emb1 = np.asarray(state.params["student"]["encoder"]["transformer"]["layers"]["0"]["attention"]["rel_attn_embed"]["weight"])
+    assert not np.allclose(emb0, emb1)

@@ -82,6 +82,11 @@ def init_train_state(
         teacher_embed_dim,
         proj_key,
     )
+    # Defensive copy: student params often share buffers with the teacher
+    # (warm start from the same checkpoint).  The train step donates the
+    # state, and donating a buffer that another argument still references is
+    # undefined behavior on TPU (runtime InvalidArgument).
+    student_params = jax.tree.map(jnp.array, student_params)
     params = {"student": student_params, "projs": projs}
     if cfg.use_reg:
         params["lambdas"] = {

@@ -63,21 +63,44 @@ def _dropout(x, rate: float, training: bool, rngs: Optional[RngStream]):
 def _layer_norm(x, weight, bias, axis: int = -1, affine_axis: int = None):
     """Normalize over ``axis`` with fp32 statistics; apply the affine along
     ``affine_axis`` (defaults to the stats axis).  GroupNorm with
-    num_groups==num_channels is the (stats=time, affine=channel) case."""
+    num_groups==num_channels is the (stats=time, affine=channel) case.
+
+    For sub-fp32 inputs the statistics use the one-pass E[x^2]-E[x]^2 form
+    with fp32 accumulation: this avoids materializing an fp32 copy of the
+    activation (a real HBM cost on the (B, 512, T) conv tensors) while the
+    reductions still accumulate in fp32.  fp32 inputs keep the two-pass
+    formula so CPU parity against the reference is bit-faithful.
+    """
     dt = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=axis, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=axis, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    if affine_axis is None:
+        affine_axis = axis
+    if dt == jnp.float32:
+        x32 = x
+        mean = jnp.mean(x32, axis=axis, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=axis, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+        if weight is not None:
+            shape = [1] * x.ndim
+            shape[affine_axis] = x.shape[affine_axis]
+            y = y * weight.astype(jnp.float32).reshape(shape) + bias.astype(
+                jnp.float32
+            ).reshape(shape)
+        return y
+    mean = jnp.mean(x, axis=axis, keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(
+        jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True
+    )
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + LN_EPS)
+    shift = -mean * scale
     if weight is not None:
-        if affine_axis is None:
-            affine_axis = axis
         shape = [1] * x.ndim
         shape[affine_axis] = x.shape[affine_axis]
-        y = y * weight.astype(jnp.float32).reshape(shape) + bias.astype(
-            jnp.float32
-        ).reshape(shape)
-    return y.astype(dt)
+        w32 = weight.astype(jnp.float32).reshape(shape)
+        b32 = bias.astype(jnp.float32).reshape(shape)
+        scale = scale * w32
+        shift = shift * w32 + b32
+    return (x.astype(jnp.float32) * scale + shift).astype(dt)
 
 
 def _linear(p, x, dtype=None):

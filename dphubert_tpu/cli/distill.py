@@ -42,6 +42,9 @@ def add_common_training_args(parser: ArgumentParser) -> None:
     parser.add_argument("--clip_norm", default=10.0, type=float)
     parser.add_argument("--num_data_shards", default=0, type=int,
                         help="Mesh data-axis size (0 = all local devices).")
+    parser.add_argument("--tensor_parallel", default=1, type=int,
+                        help="Mesh model-axis size: attention/FFN inner dims "
+                        "sharded over it (Megatron-style row/column split).")
     parser.add_argument("--accum_grad", default=1, type=int)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"],
                         help="Compute dtype (TPU default bf16; params fp32).")
@@ -110,8 +113,9 @@ def run_train(args, use_reg: bool = True):
     from ..parallel.multihost import initialize as multihost_init
 
     multihost_init()
-    n_dev = args.num_data_shards or len(jax.devices())
-    mesh = create_mesh(n_data=n_dev)
+    n_model = max(1, args.tensor_parallel)
+    n_dev = args.num_data_shards or (len(jax.devices()) // n_model)
+    mesh = create_mesh(n_data=n_dev, n_model=n_model)
     loader = build_loader(args, args.train_subset, num_replicas=n_dev,
                           shuffle_seed=args.seed)
     valid_loader = None
@@ -137,6 +141,7 @@ def run_train(args, use_reg: bool = True):
         resume=args.resume_checkpoint,
         seed=args.seed,
         proj_state_dict=proj_sd,
+        tensor_parallel=n_model > 1,
     )
     out = pathlib.Path(args.exp_dir) / "ckpts" / "distilled.pth"
     export_student_checkpoint(state, student, cfg, out)

@@ -110,6 +110,7 @@ def train(
     resume: Optional[str] = None,
     seed: int = 2022,
     proj_state_dict=None,
+    tensor_parallel: bool = False,
 ) -> TrainState:
     """Run stage-1 (use_reg) or stage-2 (final distill) training to
     ``cfg.max_updates``; returns the final state."""
@@ -142,7 +143,14 @@ def train(
 
     if mesh is not None:
         teacher_params = replicate(mesh, teacher_params)
-        state = state._replace(params=replicate(mesh, state.params))
+        if tensor_parallel and mesh.shape.get("model", 1) > 1:
+            from ..parallel.sharding import place_train_params
+
+            params = place_train_params(student.spec, mesh, state.params)
+            # re-init optimizer state so Adam moments inherit the TP layouts
+            state = state._replace(params=params, opt_state=tx.init(params))
+        else:
+            state = state._replace(params=replicate(mesh, state.params))
         bsh = batch_sharding(mesh)
     else:
         bsh = None

@@ -122,3 +122,33 @@ def test_scan_layers_equivalence():
     np.testing.assert_allclose(
         np.asarray(c[-1]), np.asarray(d[-1]), atol=1e-6
     )
+
+
+def test_serve_predictor():
+    """Shape-bucketed inference: mixed-length clips, few compilations,
+    per-clip trimmed outputs matching direct extract_features.
+
+    Uses the layer_norm extractor mode — per-frame statistics make valid
+    frames padding-invariant.  (group_norm mode normalizes over time incl.
+    padding, so batch-padded outputs differ from solo runs by construction —
+    the reference behaves identically.)"""
+    from dphubert_tpu.serve import Predictor
+
+    cfg = _tiny_w2v2_config(extractor_mode="layer_norm", layer_norm_first=True)
+    model = wav2vec2_model(**cfg)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    waves = [rng.standard_normal(n).astype(np.float32)
+             for n in (4000, 5100, 4800, 9000)]
+
+    p = Predictor(model, params, length_step=4000, max_batch=2)
+    feats = p.extract(waves)
+    assert len(feats) == 4
+    # direct single-clip reference
+    for w, f in zip(waves, feats):
+        direct, lens = model.extract_features(params, w[None, :])
+        np.testing.assert_allclose(
+            f, np.asarray(direct[-1])[0], atol=2e-4
+        )
+    # length bucketing keeps the compile count below clip count
+    assert len(p.compiled_shapes) <= 3

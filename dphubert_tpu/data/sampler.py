@@ -19,7 +19,6 @@ Two strategies:
 
 from __future__ import annotations
 
-import math
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -7,6 +7,7 @@ from .model import (
     wav2vec2_large,
     wav2vec2_large_lv60k,
     wav2vec2_model,
+    wav2vec2_model_original,
     wavlm_base,
     wavlm_large,
     wavlm_model,
@@ -17,6 +18,7 @@ from .size import model_size
 __all__ = [
     "Wav2Vec2Model",
     "wav2vec2_model",
+    "wav2vec2_model_original",
     "wavlm_model",
     "wav2vec2_base",
     "wav2vec2_large",

@@ -145,6 +145,13 @@ def wav2vec2_model(**configs) -> Wav2Vec2Model:
     return Wav2Vec2Model(spec_from_config(**configs))
 
 
+# API-parity alias (reference model.py:181: the explicit-signature builder)
+def wav2vec2_model_original(**configs) -> Wav2Vec2Model:
+    if "encoder_remaining_heads" in configs:
+        raise ValueError("WavLM configs must go through wavlm_model")
+    return Wav2Vec2Model(spec_from_config(**configs))
+
+
 def wavlm_model(**configs) -> Wav2Vec2Model:
     if "encoder_remaining_heads" not in configs:
         # named presets pass uniform head counts; expand to index lists

@@ -230,3 +230,19 @@ def test_wavlm_train_step():
     emb0 = np.asarray(sp["encoder"]["transformer"]["layers"]["0"]["attention"]["rel_attn_embed"]["weight"])
     emb1 = np.asarray(state.params["student"]["encoder"]["transformer"]["layers"]["0"]["attention"]["rel_attn_embed"]["weight"])
     assert not np.allclose(emb0, emb1)
+
+
+def test_training_determinism():
+    """Same seed => bit-identical metrics across fresh runs (explicit-key
+    RNG discipline; the reference is only per-rank reproducible)."""
+    def run():
+        teacher, student, tp, state, step_fn, dcfg = _tiny_setup(use_reg=True)
+        wave = np.random.default_rng(7).standard_normal((2, 4000)).astype(np.float32)
+        out = []
+        for _ in range(3):
+            state, m = step_fn(state, tp, (jnp.asarray(wave), None))
+            out.append(float(m["loss"]))
+        return out
+
+    a, b = run(), run()
+    assert a == b, (a, b)

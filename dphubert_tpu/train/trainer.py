@@ -84,13 +84,21 @@ def save_train_state(path, state: TrainState) -> None:
 
 
 def load_train_state(path, template: TrainState) -> TrainState:
+    """Restore a checkpoint into the template's structure; leaves are placed
+    onto the template's shardings (so TP/replicated layouts survive resume)."""
     data = np.load(path)
     n = int(data["__num_leaves__"])
     leaves = [data[f"leaf_{i}"] for i in range(n)]
-    _, treedef = jax.tree_util.tree_flatten(
+    tmpl_flat, treedef = jax.tree_util.tree_flatten(
         template._replace(rng=jax.random.key_data(template.rng))
     )
-    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    placed = [
+        jax.device_put(leaf, t.sharding)
+        if isinstance(t, jax.Array) and hasattr(t, "sharding")
+        else leaf
+        for leaf, t in zip(leaves, tmpl_flat)
+    ]
+    state = jax.tree_util.tree_unflatten(treedef, placed)
     return state._replace(rng=jax.random.wrap_key_data(jnp.asarray(state.rng)))
 
 
@@ -137,10 +145,9 @@ def train(
                 ),
             }
         )
-    if resume:
-        state = load_train_state(resume, state)
-        print(f"[train] resumed from {resume} at step {int(state.step)}")
-
+    # Placement must precede resume: load_train_state re-places restored
+    # leaves onto this template's shardings, so TP/replicated layouts (and
+    # the restored Adam moments) survive.
     if mesh is not None:
         teacher_params = replicate(mesh, teacher_params)
         if tensor_parallel and mesh.shape.get("model", 1) > 1:
@@ -154,6 +161,10 @@ def train(
         bsh = batch_sharding(mesh)
     else:
         bsh = None
+
+    if resume:
+        state = load_train_state(resume, state)
+        print(f"[train] resumed from {resume} at step {int(state.step)}")
 
     # preemption safety: a SIGTERM checkpoints the full training state before
     # exit (the reference relies on manual --resume_checkpoint only)

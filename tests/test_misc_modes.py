@@ -152,3 +152,17 @@ def test_serve_predictor():
         )
     # length bucketing keeps the compile count below clip count
     assert len(p.compiled_shapes) <= 3
+
+
+def test_extract_features_num_layers():
+    """num_layers early exit (reference model.py:80-84): returns
+    [proj_input] + exactly k layer outputs, matching prefixes of the full run."""
+    cfg = _tiny_w2v2_config()
+    model = wav2vec2_model(**cfg)
+    params = model.init(jax.random.key(0))
+    wave = np.random.default_rng(0).standard_normal((1, 4000)).astype(np.float32)
+    full, _ = model.extract_features(params, wave)
+    partial, _ = model.extract_features(params, wave, num_layers=2)
+    assert len(partial) == 3 and len(full) == 4
+    for a, b in zip(partial, full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -12,7 +12,10 @@ from .prune import load_pruned_model
 
 
 def parse_args():
-    parser = ArgumentParser(description="Save ckpt and config after final distill.")
+    parser = ArgumentParser(
+        description="Merge final-distill weights with the pruned config "
+        "into a portable checkpoint."
+    )
     parser.add_argument("--config_path", type=pathlib.Path, required=True,
                         help="Checkpoint containing the pruned config.")
     parser.add_argument("--ckpt_after_final_distill", type=pathlib.Path,
@@ -41,7 +44,7 @@ def cli_main():
         out_path, config, state_dict, ckpt.get("distill_linear_projs", {})
     )
     load_pruned_model(out_path)  # strict reload verify
-    print(f"Successfully saved pruned model weights and config to: {out_path}")
+    print(f"Wrote pruned model checkpoint (weights + config): {out_path}")
 
 
 if __name__ == "__main__":

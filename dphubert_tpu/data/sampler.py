@@ -60,6 +60,7 @@ class BucketizeBatchSampler:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
 
         boundaries = np.linspace(min_len - 1, max_len + 1, num_buckets + 1)
@@ -91,6 +92,18 @@ class BucketizeBatchSampler:
                     total_len = sample_len
         if batch and (self.max_token_count or not self.drop_last):
             self.iter_list.append(batch)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle within buckets and repack for a new epoch.
+
+        The reference gets per-epoch reshuffling by rebuilding its
+        dataloader every epoch (``distill.py:47`` reload_dataloaders_every_
+        n_epochs + sampler construction in ``lightning.py:306-317``); this
+        hook provides the same behavior without reconstructing the sampler.
+        Deterministic given (seed, epoch).
+        """
+        self._rng = np.random.default_rng(self._seed + epoch)
+        self._update_iter_list()
 
     def __iter__(self) -> Iterator[List[int]]:
         return iter(self.iter_list)

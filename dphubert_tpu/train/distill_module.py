@@ -108,10 +108,26 @@ def init_train_state(
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32), rng), tx
 
 
+def update_count(cfg: DistillConfig, step):
+    """Optimizer-update count for a micro-step counter.
+
+    With ``accum_grad > 1`` the optimizer (wrapped in ``optax.MultiSteps``)
+    applies one update every ``accum_grad`` micro-steps — the reference
+    counts *optimizer* steps for max_updates / warmups (its Lightning
+    ``global_step`` advances per optimizer step, distill.py:240-245), so
+    every schedule here must run on this derived count, not raw micro-steps.
+    """
+    return step // max(cfg.accum_grad, 1)
+
+
 def _target_sparsity(cfg: DistillConfig, step):
-    """Linear warmup of the sparsity target (reference lightning.py:240-243)."""
+    """Linear warmup of the sparsity target (reference lightning.py:240-243).
+
+    ``step`` is the micro-step counter; warmup runs on optimizer updates.
+    """
+    updates = update_count(cfg, step)
     frac = jnp.minimum(
-        step.astype(jnp.float32) / max(cfg.sparsity_warmup_updates, 1), 1.0
+        updates.astype(jnp.float32) / max(cfg.sparsity_warmup_updates, 1), 1.0
     )
     return cfg.target_sparsity * frac
 

@@ -38,10 +38,14 @@ class MetricLogger:
     """stdout + JSONL metrics log (the reference logs via Lightning's
     log_dict every ``log_interval`` steps, distill.py:49)."""
 
-    def __init__(self, exp_dir: pathlib.Path, interval: int = 50):
+    def __init__(self, exp_dir: pathlib.Path, interval: int = 50,
+                 enabled: bool = True):
+        # rank-aware: only process 0 writes/prints (the reference demotes
+        # non-rank-0 loggers to WARNING, distill.py:334-343)
+        self.enabled = enabled
         self.interval = interval
         self.path = exp_dir / "metrics.jsonl"
-        self._f = open(self.path, "a")
+        self._f = open(self.path, "a") if enabled else None
         self._t0 = time.time()
         self._last_step = 0
         self._last_time = self._t0
@@ -49,7 +53,7 @@ class MetricLogger:
 
     def log(self, step: int, metrics: dict, audio_seconds: float = 0.0):
         self._audio_acc += audio_seconds
-        if step % self.interval != 0:
+        if not self.enabled or step % self.interval != 0:
             return
         now = time.time()
         dt = now - self._last_time
@@ -92,12 +96,27 @@ def load_train_state(path, template: TrainState) -> TrainState:
     tmpl_flat, treedef = jax.tree_util.tree_flatten(
         template._replace(rng=jax.random.key_data(template.rng))
     )
-    placed = [
-        jax.device_put(leaf, t.sharding)
-        if isinstance(t, jax.Array) and hasattr(t, "sharding")
-        else leaf
-        for leaf, t in zip(leaves, tmpl_flat)
-    ]
+
+    def _place(leaf, t):
+        if not (isinstance(t, jax.Array) and hasattr(t, "sharding")):
+            return leaf
+        if jax.process_count() > 1:
+            if not t.sharding.is_fully_addressable:
+                # device_put cannot target non-addressable devices; every
+                # host has the full leaf (shared-FS npz), so hand each
+                # addressable device its slice — correct for replicated AND
+                # sharded layouts
+                full = np.asarray(leaf)
+                return jax.make_array_from_callback(
+                    t.shape, t.sharding, lambda idx: full[idx]
+                )
+            # template leaf is host-local (e.g. step/rng created outside the
+            # mesh): keep the restored value uncommitted so jit is free to
+            # place it next to the global arrays
+            return leaf
+        return jax.device_put(leaf, t.sharding)
+
+    placed = [_place(leaf, t) for leaf, t in zip(leaves, tmpl_flat)]
     state = jax.tree_util.tree_unflatten(treedef, placed)
     return state._replace(rng=jax.random.wrap_key_data(jnp.asarray(state.rng)))
 
@@ -123,8 +142,10 @@ def train(
     """Run stage-1 (use_reg) or stage-2 (final distill) training to
     ``cfg.max_updates``; returns the final state."""
     exp_dir = pathlib.Path(exp_dir)
-    (exp_dir / "ckpts").mkdir(parents=True, exist_ok=True)
-    logger = MetricLogger(exp_dir, log_interval)
+    is_main = jax.process_index() == 0
+    if is_main:
+        (exp_dir / "ckpts").mkdir(parents=True, exist_ok=True)
+    logger = MetricLogger(exp_dir, log_interval, enabled=is_main)
 
     state, tx = init_train_state(
         student=student,
@@ -181,9 +202,19 @@ def train(
     step_fn = make_train_step(teacher, student, cfg, tx)
     eval_fn = make_eval_step(teacher, student, cfg) if valid_loader else None
 
+    # ``state.step`` counts micro-steps; optimizer updates advance every
+    # ``accum_grad`` micro-steps (optax.MultiSteps).  max_updates bounds the
+    # number of *updates*, matching the reference (distill.py:240-245).
+    accum = max(cfg.accum_grad, 1)
+    max_micro_steps = cfg.max_updates * accum
     step = int(state.step)
     epoch = 0
     done = False
+
+    def _checkpoint():
+        if is_main:
+            save_train_state(exp_dir / "ckpts" / "last.npz", state)
+
     while not done:
         for wave, lengths in loader.epoch(epoch):
             audio_sec = (
@@ -194,22 +225,23 @@ def train(
                 wave = global_batch_from_local(bsh, wave, gshape)
             state, metrics = step_fn(state, teacher_params, (wave, lengths))
             step += 1
+            metrics["updates"] = step // accum
             logger.log(step, metrics, audio_seconds=audio_sec)
             if step % ckpt_interval == 0:
-                save_train_state(exp_dir / "ckpts" / "last.npz", state)
+                _checkpoint()
             if stop_requested["flag"]:
-                save_train_state(exp_dir / "ckpts" / "last.npz", state)
+                _checkpoint()
                 print(f"[train] SIGTERM: checkpointed at step {step}, exiting")
                 done = True
                 break
-            if step >= cfg.max_updates:
+            if step >= max_micro_steps:
                 done = True
                 break
         if eval_fn is not None and not done:
             _run_validation(eval_fn, state, teacher_params, student, valid_loader, bsh, step)
         epoch += 1
 
-    save_train_state(exp_dir / "ckpts" / "last.npz", state)
+    _checkpoint()
     if prev_handler is not None:
         signal.signal(signal.SIGTERM, prev_handler)
     return state
@@ -223,11 +255,16 @@ def _run_validation(eval_fn, state, teacher_params, student, valid_loader, bsh, 
     losses = []
     for wave, lengths in valid_loader.epoch(0):
         if bsh is not None:
-            wave = jax.device_put(wave, bsh)
+            # assemble each host's locally-decoded rows into the global
+            # sharded batch — a plain device_put of local rows is wrong on a
+            # real multi-host slice
+            gshape = (wave.shape[0] * jax.process_count(),) + wave.shape[1:]
+            wave = global_batch_from_local(bsh, wave, gshape)
         m = eval_fn(state, teacher_params, (wave, lengths), gates)
         losses.append(float(m["loss"]))
-    print(f"[valid] step={step} loss={np.mean(losses):.4f} ({len(losses)} batches)",
-          flush=True)
+    if jax.process_index() == 0:
+        print(f"[valid] step={step} loss={np.mean(losses):.4f} ({len(losses)} batches)",
+              flush=True)
 
 
 def export_student_checkpoint(
@@ -238,7 +275,10 @@ def export_student_checkpoint(
 ) -> None:
     """Write the stage output as a portable ``{config, state_dict,
     distill_linear_projs}`` checkpoint consumable by the prune/export CLIs
-    (and by the reference's tooling via the .pth format)."""
+    (and by the reference's tooling via the .pth format).  Rank-0 only on
+    multi-host runs."""
+    if jax.process_index() != 0:
+        return
     from ..interop.torch_ckpt import save_checkpoint
 
     sd = flatten_params(jax.tree.map(np.asarray, state.params["student"]))

@@ -246,3 +246,63 @@ def test_training_determinism():
 
     a, b = run(), run()
     assert a == b, (a, b)
+
+
+def test_accum_grad_counts_optimizer_updates(tmp_path):
+    """accum_grad=k must be equivalent to k-x larger batches in *update*
+    accounting: LR schedule count, target-sparsity warmup, and the trainer
+    stop step all run on optimizer updates, not micro-steps (the reference
+    counts Lightning global_steps = optimizer steps, distill.py:240-245)."""
+    from dphubert_tpu.train.distill_module import _target_sparsity, update_count
+    from dphubert_tpu.train.trainer import train
+
+    # --- unit level: warmup + update count derivation -----------------------
+    cfg3 = DistillConfig(accum_grad=3, sparsity_warmup_updates=10,
+                         target_sparsity=0.6)
+    cfg1 = DistillConfig(accum_grad=1, sparsity_warmup_updates=10,
+                         target_sparsity=0.6)
+    # 9 micro-steps at accum 3 == 3 updates == 3 micro-steps at accum 1
+    assert int(update_count(cfg3, jnp.asarray(9))) == 3
+    assert float(_target_sparsity(cfg3, jnp.asarray(9))) == pytest.approx(
+        float(_target_sparsity(cfg1, jnp.asarray(3)))
+    )
+
+    # --- step level: MultiSteps holds params until the k-th micro-step ------
+    teacher, student, tp, state, step_fn, _ = _tiny_setup(
+        use_reg=True, steps_cfg=dict(accum_grad=3)
+    )
+    wave = np.random.default_rng(0).standard_normal((2, 4000)).astype(np.float32)
+    batch = (jnp.asarray(wave), None)
+    p0 = jax.tree.leaves(state.params["student"])[0]
+    state, _ = step_fn(state, tp, batch)
+    state, _ = step_fn(state, tp, batch)
+    # two micro-steps: no optimizer update yet
+    np.testing.assert_array_equal(
+        np.asarray(p0), np.asarray(jax.tree.leaves(state.params["student"])[0])
+    )
+    state, _ = step_fn(state, tp, batch)
+    assert not np.allclose(
+        np.asarray(p0), np.asarray(jax.tree.leaves(state.params["student"])[0])
+    )
+    # the inner schedule advanced exactly one update
+    ms_state = state.opt_state
+    assert int(ms_state.gradient_step) == 1
+
+    # --- trainer level: stops after max_updates *updates* -------------------
+    class FakeLoader:
+        def epoch(self, e):
+            rng = np.random.default_rng(e)
+            for _ in range(50):
+                yield rng.standard_normal((2, 4000)).astype(np.float32), None
+
+    cfg_t = _tiny_w2v2_config()
+    t2, s2 = wav2vec2_model(**cfg_t), wav2vec2_model(**cfg_t)
+    tp2, sp2 = t2.init(jax.random.key(0)), s2.init(jax.random.key(1))
+    dcfg = DistillConfig(use_reg=False, distill_layer_groups=((0,), (1, 3)),
+                         warmup_updates=2, max_updates=2, accum_grad=3)
+    final = train(teacher=t2, teacher_params=tp2, student=s2,
+                  student_params=sp2, cfg=dcfg, loader=FakeLoader(),
+                  exp_dir=tmp_path, log_interval=100, ckpt_interval=100)
+    # 2 updates x 3 micro-steps each
+    assert int(final.step) == 6
+    assert int(final.opt_state.gradient_step) == 2

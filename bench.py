@@ -14,6 +14,7 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -24,14 +25,17 @@ BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP = 139.0
 def main():
     import jax
 
-    from dphubert_tpu import hubert_base, wav2vec2_model
+    from dphubert_tpu import hubert_base, wav2vec2_model, wavlm_base
     from dphubert_tpu.train.distill_module import (
         DistillConfig,
         init_train_state,
         make_train_step,
     )
 
-    teacher = hubert_base()
+    # DPHUBERT_BENCH_MODEL=wavlm benches the DPWavLM stage-1 step (gated
+    # rel-pos bias path); default is the DPHuBERT headline number.
+    model_name = os.environ.get("DPHUBERT_BENCH_MODEL", "hubert_base")
+    teacher = wavlm_base() if model_name == "wavlm" else hubert_base()
     cfg_gated = dict(
         teacher.config,
         extractor_prune_conv_channels=True,
@@ -105,7 +109,7 @@ def main():
                     ),
                     "batch_audio_sec": audio_sec,
                     "batch_shape": [B, T],
-                    "model": "hubert_base distill step (teacher fwd + gated "
+                    "model": f"{model_name} distill step (teacher fwd + gated "
                     "student fwd/bwd + AdamW)",
                     "backend": jax.default_backend(),
                 },

@@ -187,6 +187,16 @@ def feature_extractor_forward(
     """(B, T) waveform -> (B, frames, C) features (reference
     ``components.py:158-185``); applies the non-trainable ``dummy_weight``
     carrier so last-layer soft masks survive into checkpoints."""
+    from ..ops.fused_conv import fused_feature_extractor, use_fused_conv
+
+    if use_fused_conv(spec):
+        # fused Pallas path: conv + bias + norm + GELU + gate per stage in
+        # one kernel, time-major layout (no final transpose needed)
+        x = fused_feature_extractor(p, spec, wave, gates)
+        x = x * p["dummy_weight"].astype(x.dtype)
+        if lengths is not None:
+            lengths = output_lengths(spec, lengths)
+        return x, lengths
     x = wave[:, None, :]  # (B, 1, T)
     for i, cspec in enumerate(spec.conv_layers):
         gate = None
@@ -305,6 +315,7 @@ def _core_attention(
     rngs,
     lengths=None,
     has_bias: bool = False,
+    wavlm_bias=None,
 ):
     """Scaled-dot-product MHA with decoupled inner width and HardConcrete
     gates (reference ``components.py:399-436``).
@@ -332,7 +343,24 @@ def _core_attention(
 
     # Fused paths: padding-only masking; probs-dropout runs in-kernel.
     dropout_active = training and spec.dropout > 0.0 and rngs is not None
-    if not has_bias and use_flash_attention():
+    if wavlm_bias is not None and use_flash_attention():
+        # WavLM: gated rel-pos bias recomputed in-kernel from its factors
+        # (bias (H, L, L) + gate (B, H, L)) — see ops/wavlm_attention.py.
+        from ..ops.wavlm_attention import wavlm_flash_attention
+
+        bias_hll, gate_bhl = wavlm_bias
+        out = wavlm_flash_attention(
+            q.reshape(B, L, H, D).transpose(0, 2, 1, 3),
+            k.reshape(B, L, H, D).transpose(0, 2, 1, 3),
+            v.reshape(B, L, H, D).transpose(0, 2, 1, 3),
+            bias_hll,
+            gate_bhl,
+            lengths,
+            scale=scaling,
+            dropout_rate=spec.dropout if dropout_active else 0.0,
+            dropout_rng=rngs.next() if dropout_active else None,
+        ).transpose(0, 2, 1, 3)  # (B, L, H, D)
+    elif not has_bias and use_flash_attention():
         from ..ops.flash_attention import LANES, _ceil_to, flash_attention
         from ..ops.packed_attention import MAX_PACKED_KV, packed_attention
 
@@ -418,26 +446,50 @@ def self_attention_forward(
     if spec.has_relative_attention_bias and position_bias is None:
         position_bias = compute_wavlm_bias(p, spec, L)  # (TH, L, L)
 
+    gate_a_1 = None  # (B, TH, L, 1)
+    if position_bias is not None and spec.gru_rel_pos:
+        # GRU-style gating of the bias, computed from the *pre-projection*
+        # query split into total_num_heads chunks (components.py:636-644).
+        head_dim = spec.embed_dim // TH
+        query_layer = x.reshape(B, L, TH, head_dim).transpose(0, 2, 1, 3)
+        gates_raw = _linear(p["gru_rel_pos_linear"], query_layer, dtype=x.dtype)
+        gates_sum = jax.nn.sigmoid(
+            gates_raw.reshape(B, TH, L, 2, 4).sum(-1).astype(jnp.float32)
+        )
+        gate_a = gates_sum[..., 0:1]
+        gate_b = gates_sum[..., 1:2]
+        const = p["gru_rel_pos_const"].astype(jnp.float32)  # (1, TH, 1, 1)
+        gate_a_1 = gate_a * (gate_b * const - 1.0) + 2.0  # (B, TH, L, 1)
+
+    keep_heads = None
+    if spec.remaining_heads is not None and len(spec.remaining_heads) != TH:
+        keep_heads = jnp.asarray(spec.remaining_heads)
+
+    if position_bias is not None and use_flash_attention():
+        # fused path: the bias stays factored as (H, L, L) x (B, H, L) and
+        # the gated sum is recomputed inside the kernel (wavlm_attention.py)
+        bias_hll = position_bias
+        if gate_a_1 is not None:
+            gate_bhl = gate_a_1[..., 0]  # (B, TH, L)
+        else:
+            gate_bhl = jnp.ones((B, TH, L), jnp.float32)
+        if keep_heads is not None:
+            bias_hll = bias_hll[keep_heads]
+            gate_bhl = gate_bhl[:, keep_heads]
+        out = _core_attention(
+            p, spec, x, None, head_gate, layer_gate, training, rngs,
+            lengths=lengths, wavlm_bias=(bias_hll, gate_bhl),
+        )
+        return out, position_bias
+
     mask = attn_mask
     if position_bias is not None:
         biased = jnp.broadcast_to(position_bias[None], (B, TH, L, L))
-        if spec.gru_rel_pos:
-            # GRU-style gating of the bias, computed from the *pre-projection*
-            # query split into total_num_heads chunks (components.py:636-644).
-            head_dim = spec.embed_dim // TH
-            query_layer = x.reshape(B, L, TH, head_dim).transpose(0, 2, 1, 3)
-            gates_raw = _linear(p["gru_rel_pos_linear"], query_layer, dtype=x.dtype)
-            gates_sum = jax.nn.sigmoid(
-                gates_raw.reshape(B, TH, L, 2, 4).sum(-1).astype(jnp.float32)
-            )
-            gate_a = gates_sum[..., 0:1]
-            gate_b = gates_sum[..., 1:2]
-            const = p["gru_rel_pos_const"].astype(jnp.float32)  # (1, TH, 1, 1)
-            gate_a_1 = gate_a * (gate_b * const - 1.0) + 2.0  # (B, TH, L, 1)
+        if gate_a_1 is not None:
             biased = gate_a_1 * biased.astype(jnp.float32)
         # select the surviving heads' bias rows (components.py:647)
-        if spec.remaining_heads is not None and len(spec.remaining_heads) != TH:
-            biased = biased[:, jnp.asarray(spec.remaining_heads), :, :]
+        if keep_heads is not None:
+            biased = biased[:, keep_heads, :, :]
         mask = biased if attn_mask is None else biased + attn_mask
     out = _core_attention(
         p, spec, x, mask, head_gate, layer_gate, training, rngs,

@@ -32,8 +32,18 @@ def add_common_training_args(parser: ArgumentParser) -> None:
     parser.add_argument("--num_workers", default=8, type=int)
     parser.add_argument("--num_shapes", default=12, type=int,
                         help="Number of static length buckets (TPU shape set).")
-    parser.add_argument("--resume_checkpoint", type=pathlib.Path, default=None)
+    parser.add_argument("--resume_checkpoint", type=pathlib.Path, default=None,
+                        help="npz file (sync format) or orbax checkpoint "
+                        "directory; directories restore the latest step.")
     parser.add_argument("--exp_dir", default=pathlib.Path("./exp"), type=pathlib.Path)
+    parser.add_argument("--ckpt_interval", default=1000, type=int)
+    parser.add_argument("--ckpt_backend", default="npz",
+                        choices=["npz", "orbax"],
+                        help="npz: synchronous last-only; orbax: async "
+                        "background writes with keep-last-N rotation "
+                        "(multi-host safe).")
+    parser.add_argument("--ckpt_keep", default=3, type=int,
+                        help="Checkpoints retained under --ckpt_backend orbax.")
     parser.add_argument("--log_interval", default=50, type=int)
     parser.add_argument("--learning_rate", default=0.0002, type=float)
     parser.add_argument("--weight_decay", default=0.0, type=float)
@@ -138,6 +148,9 @@ def run_train(args, use_reg: bool = True):
         exp_dir=args.exp_dir,
         mesh=mesh,
         log_interval=args.log_interval,
+        ckpt_interval=args.ckpt_interval,
+        ckpt_backend=args.ckpt_backend,
+        ckpt_keep=args.ckpt_keep,
         resume=args.resume_checkpoint,
         seed=args.seed,
         proj_state_dict=proj_sd,

@@ -134,6 +134,8 @@ def train(
     valid_loader=None,
     log_interval: int = 50,
     ckpt_interval: int = 1000,
+    ckpt_backend: str = "npz",  # "npz" (sync, last-only) | "orbax" (async, rotated)
+    ckpt_keep: int = 3,
     resume: Optional[str] = None,
     seed: int = 2022,
     proj_state_dict=None,
@@ -183,8 +185,31 @@ def train(
     else:
         bsh = None
 
+    ckpt_mgr = None
+    if ckpt_backend == "orbax":
+        from .checkpointing import AsyncCheckpointer
+
+        # every process participates (orbax coordinates the multi-host
+        # commit); rotation keeps the last ``ckpt_keep`` steps
+        ckpt_mgr = AsyncCheckpointer(exp_dir / "ckpts" / "orbax", keep=ckpt_keep)
+
     if resume:
-        state = load_train_state(resume, state)
+        if pathlib.Path(resume).is_dir():
+            from .checkpointing import AsyncCheckpointer
+
+            rdir = pathlib.Path(resume).absolute()
+            if ckpt_mgr is not None and rdir == ckpt_mgr.directory:
+                mgr = ckpt_mgr
+            else:
+                mgr = AsyncCheckpointer(rdir, async_save=False)
+            restored = mgr.restore_latest(state)
+            if restored is None:
+                raise FileNotFoundError(f"no checkpoints under {resume}")
+            state = restored
+            if mgr is not ckpt_mgr:
+                mgr.close()
+        else:
+            state = load_train_state(resume, state)
         print(f"[train] resumed from {resume} at step {int(state.step)}")
 
     # preemption safety: a SIGTERM checkpoints the full training state before
@@ -211,8 +236,14 @@ def train(
     epoch = 0
     done = False
 
+    last_saved = {"step": -1}
+
     def _checkpoint():
-        if is_main:
+        if ckpt_mgr is not None:
+            if step != last_saved["step"]:  # orbax steps are save-once
+                ckpt_mgr.save(step, state)  # async; all processes participate
+                last_saved["step"] = step
+        elif is_main:
             save_train_state(exp_dir / "ckpts" / "last.npz", state)
 
     while not done:
@@ -242,6 +273,8 @@ def train(
         epoch += 1
 
     _checkpoint()
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()  # drain pending async writes
     if prev_handler is not None:
         signal.signal(signal.SIGTERM, prev_handler)
     return state

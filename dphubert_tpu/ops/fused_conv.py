@@ -16,10 +16,17 @@ be a full-tensor relayout copy).  Each kernel reshapes its input tile to
 the *depth view* ``xd = x_tile.reshape(F + Q - 1, s*C)`` in VMEM, where a
 stride-``s`` conv with kernel ``k`` becomes ``Q = ceil(k/s)`` MXU matmuls
 ``y[t] = sum_q xd[t+q] @ Wd_q`` with ``Wd_q[j*C_in + c, o] = W[o, c,
-q*s + j]`` (zero-padded taps).  Cross-tile halos ((Q-1)*s rows) are read
-through a second small BlockSpec on the same array with a clamped index
-map; clamp garbage only ever reaches output frames beyond the valid length,
-which are dropped on store or masked in the backward kernels.
+q*s + j]`` (the final tap group contracts only its ``rem*C_in`` real lanes,
+so padded taps cost no MXU work).  Cross-tile halos ((Q-1)*s rows) are read
+through a second small BlockSpec on the same array with a clamped index map.
+
+Inter-layer buffers are **tile-aligned and zero-filled**: each layer emits
+``p_out`` frames (a multiple of its tile, with rows past ``valid_out``
+masked to zero in-kernel), and the padded row budget is planned so every
+block and halo read of the next layer is in-bounds.  Nothing ever reads
+uninitialized HBM, which removes the per-element sanitize pass an
+out-of-bounds-tolerant design would need (several VPU ops per input
+element).  The final output is sliced back to the true length once.
 
 The raw ``(B, T)`` waveform is pre-grouped in XLA to ``(B, T//s0, s0)``
 (one cheap copy of the smallest array in the model; its VJP is automatic),
@@ -85,6 +92,7 @@ class ConvDef(NamedTuple):
     f_tile: int  # output frames per grid cell (multiple of 16)
     f_tile_bwd: int  # smaller bwd tile: bwd kernels hold ~3x the buffers
     valid_out: int  # true output length (T_in - k)//s + 1
+    p_out: int  # padded output frames (multiple of f_tile; zero past valid)
     interpret: bool
 
     @property
@@ -94,6 +102,13 @@ class ConvDef(NamedTuple):
     @property
     def w_lane(self) -> int:
         return self.s * self.c_in
+
+    @property
+    def rem_lane(self) -> int:
+        """Real lanes of the final tap group: the depth weights pad ``k`` to
+        ``q*s`` taps, so tap group q-1 holds only ``k - (q-1)*s`` nonzero
+        taps — contract just those."""
+        return (self.k - (self.q - 1) * self.s) * self.c_in
 
 
 def _depth_weights(w, k: int, s: int):
@@ -131,17 +146,6 @@ def _gelu_grad_f32(u):
     return cdf + u * pdf
 
 
-def _sanitize(x):
-    """Zero non-finite values.  Out-of-bounds block reads (ragged tiles,
-    clamped halos) deliver padding the kernels multiply by zero-padded
-    weight taps — which would turn NaN/Inf padding into NaN outputs at
-    *valid* frames.  All padding-derived values are functionally dead, so
-    zeroing them is exact.  The comparison runs in f32: sub-f32 vector
-    compares are unsupported on some TPU targets."""
-    x32 = x.astype(jnp.float32)
-    return jnp.where(jnp.abs(x32) < jnp.inf, x, jnp.zeros_like(x))
-
-
 def _depth_view(cdef: ConvDef, xm, xr, xl, n_frames: int):
     """Assemble the VMEM depth view (n_frames + Q - 1, s*C_in) for a tile
     from the main block plus optional right/left halo blocks (halos carry
@@ -158,20 +162,23 @@ def _depth_view(cdef: ConvDef, xm, xr, xl, n_frames: int):
     if len(parts) > 1:
         x = jnp.concatenate(parts, axis=0)
     rows = (n_frames + q - 1) * s
-    xd = x[:rows].reshape(n_frames + q - 1, s * cdef.c_in)
-    return _sanitize(xd)
+    return x[:rows].reshape(n_frames + q - 1, s * cdef.c_in)
 
 
 def _conv_rows(cdef: ConvDef, xd, wd_ref, n_rows: int):
     """``n_rows`` conv outputs from the depth view (n_rows + Q - 1 rows):
-    fp32 accumulation on the MXU."""
+    fp32 accumulation on the MXU; the last tap group contracts only its
+    real lanes (k=3,s=2 layers would otherwise waste 25% of the MXU on
+    zero taps)."""
     acc = jnp.zeros((n_rows, cdef.c_out), jnp.float32)
+    rem = cdef.rem_lane
     for qi in range(cdef.q):
-        acc = acc + jax.lax.dot(
-            xd[qi : qi + n_rows],
-            wd_ref[qi],
-            preferred_element_type=jnp.float32,
-        )
+        lhs = xd[qi : qi + n_rows]
+        rhs = wd_ref[qi]
+        if qi == cdef.q - 1 and rem < cdef.w_lane:
+            lhs = lhs[:, :rem]
+            rhs = rhs[:rem]
+        acc = acc + jax.lax.dot(lhs, rhs, preferred_element_type=jnp.float32)
     return acc
 
 
@@ -220,6 +227,7 @@ def _fwd_kernel(*refs, cdef: ConvDef):
     g_ref = next(it) if cdef.has_gate else None
     o_ref = next(it)
 
+    t = pl.program_id(1)
     F = cdef.f_tile
     xd = _depth_view(cdef, xm_ref, xr_ref, None, F)
     z = _conv_rows(cdef, xd, wd_ref, F)
@@ -235,6 +243,12 @@ def _fwd_kernel(*refs, cdef: ConvDef):
     y = _gelu_f32(z)
     if g_ref is not None:
         y = y * g_ref[...].astype(jnp.float32)
+    if cdef.p_out > cdef.valid_out:
+        # zero-fill past the valid length: downstream layers read these rows
+        # through their tiles/halos, so they must be finite (and zero keeps
+        # the GroupNorm partial sums exact)
+        frame = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0) + t * F
+        y = jnp.where(frame < cdef.valid_out, y, 0.0)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
@@ -263,7 +277,7 @@ def _conv_fwd(cdef: ConvDef, x, wd, bias, lnw, lnb, affine, gate):
     B = x.shape[0]
     t_in = x.shape[1]
     F = cdef.f_tile
-    n_t = _cdiv(cdef.valid_out, F)
+    n_t = cdef.p_out // F
     x_specs = _x_block_specs(cdef, F, t_in, left=False, right=cdef.q > 1)
     operands = [x] * len(x_specs)
     operands.append(wd)
@@ -274,7 +288,7 @@ def _conv_fwd(cdef: ConvDef, x, wd, bias, lnw, lnb, affine, gate):
         grid=(B, n_t),
         in_specs=x_specs + [wspec] + small_specs,
         out_specs=pl.BlockSpec((1, F, cdef.c_out), lambda b, t: (b, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, cdef.valid_out, cdef.c_out), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, cdef.p_out, cdef.c_out), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -412,8 +426,8 @@ def _dy_specs(cdef: ConvDef, f: int):
     (their dz is fully masked)."""
     c = cdef.c_out
     fb = f // 8
-    n_main = max(_cdiv(cdef.valid_out, f) - 1, 0)
-    n_halo = max(_cdiv(cdef.valid_out, 8) - 1, 0)
+    n_main = max(cdef.p_out // f - 1, 0)
+    n_halo = max(cdef.p_out // 8 - 1, 0)
     specs = [
         pl.BlockSpec((1, f, c), lambda b, t: (b, jnp.minimum(t, n_main), 0))
     ]
@@ -615,7 +629,7 @@ def _stats_fwd(cdef: ConvDef, x, wd, bias):
     B = x.shape[0]
     t_in = x.shape[1]
     F = cdef.f_tile
-    n_t = _cdiv(cdef.valid_out, F)
+    n_t = cdef.p_out // F
     x_specs = _x_block_specs(cdef, F, t_in, left=False, right=cdef.q > 1)
     wspec = pl.BlockSpec((cdef.q, cdef.w_lane, cdef.c_out), lambda b, t: (0, 0, 0))
     operands = [x] * len(x_specs) + [wd]
@@ -754,44 +768,83 @@ def fused_feature_extractor(
     dt = wave.dtype
     convs = spec.conv_layers
 
-    x = wave
+    # --- pass 1: plan true lengths, tiles, and padded row budgets --------
+    # each layer's padded output (p_out frames, multiple of its tile) must
+    # cover BOTH its own valid frames and every row the next layer's grid
+    # and halos will read, so no kernel ever touches uninitialized HBM
+    plan = []
     r = wave.shape[1]
     for i, c in enumerate(convs):
         k, s = c.kernel_size, c.stride
         r_out = max((r - k) // s + 1, 1)
+        if i == 0 and c.in_channels == 1:
+            k_eff, s_eff, cin_eff = k // s, 1, s
+        else:
+            k_eff, s_eff, cin_eff = k, s, c.in_channels
+        f = _ceil_to(min(f_tile, _ceil_to(r_out, _HALO)), _HALO)
+        if f > f_tile_bwd:
+            f = _ceil_to(f, f_tile_bwd)  # fb must divide f
+        fb = min(f_tile_bwd, f)
+        plan.append(dict(c=c, k=k_eff, s=s_eff, cin=cin_eff, r_out=r_out,
+                         f=f, fb=fb))
+        r = r_out
+    rows_needed = 0  # input rows the NEXT layer's grids consume
+    next_align = None  # next layer's bwd-grid granularity fb*s
+    for info in reversed(plan):
+        # p_out must be a multiple of this layer's fwd tile AND of the next
+        # layer's bwd tile-rows (its backward grid tiles the input exactly,
+        # so no tail tile ever reads out of bounds — OOB garbage would
+        # poison the dW dot even against zeroed dz rows, NaN * 0 = NaN)
+        align = info["f"]
+        if next_align is not None:
+            align = align * next_align // math.gcd(align, next_align)
+        p_out = _ceil_to(max(info["r_out"], rows_needed), align)
+        info["p_out"] = p_out
+        rows_needed = p_out * info["s"]
+        next_align = info["fb"] * info["s"]
+    in_align = next_align  # layer 0's own bwd granularity
+
+    # --- pass 2: run the stack ------------------------------------------
+    x = wave
+    for i, (c, info) in enumerate(zip(convs, plan)):
+        k_eff, s_eff, cin_eff = info["k"], info["s"], info["cin"]
+        r_out, f, fb, p_out = info["r_out"], info["f"], info["fb"], info["p_out"]
 
         lp = p["conv_layers"][str(i)]
         w = lp["conv"]["weight"].astype(dt)
-        if c.in_channels == 1 and x.ndim == 2:
+        if i == 0 and c.in_channels == 1:
             # Group the waveform: (B, T) -> (B, T//s, s), making layer 0 an
             # ordinary (c_in=s, k=k//s, stride=1) layer (identity depth
             # view; Mosaic can't reshape lane vectors to sublanes).  The
             # grouping reshape is XLA-level, so its VJP is automatic.
-            g = x.shape[1] // s
-            x = x[:, : g * s].reshape(x.shape[0], g, s)
-            q0 = k // s
+            s0 = c.stride
+            g = x.shape[1] // s0
+            x = x[:, : g * s0].reshape(x.shape[0], g, s0)
+            # zero-pad group rows so the first layer's fwd AND bwd grids +
+            # halos are in-bounds (rows_needed after the plan = layer 0's
+            # forward consumption; in_align = its backward granularity)
+            g_pad = _ceil_to(max(g, p_out * s_eff), in_align)
+            if g_pad > g:
+                x = jnp.pad(x, ((0, 0), (0, g_pad - g), (0, 0)))
             # (O, 1, k) -> (O, s, q0) with w'[o, j, qi] = w[o, 0, qi*s + j]
-            w = w.reshape(c.out_channels, q0, s).transpose(0, 2, 1)
-            k_eff, s_eff, cin_eff = q0, 1, s
-        else:
-            k_eff, s_eff, cin_eff = k, s, c.in_channels
+            w = w.reshape(c.out_channels, k_eff, s0).transpose(0, 2, 1)
+        elif i == 0:
+            # externally supplied feature input: same in-bounds guarantee
+            t0 = x.shape[1]
+            t_pad = _ceil_to(max(t0, p_out * s_eff), in_align)  # in_align = fb0*s0
+            if t_pad > t0:
+                x = jnp.pad(x, ((0, 0), (0, t_pad - t0), (0, 0)))
         wd = _depth_weights(w, k_eff, s_eff)
         bias = lp["conv"].get("bias")
         gate = None
         if gates is not None:
             gate = gates.get("conv_layers", {}).get(str(i))
 
-        # tiles: F output frames ~ F*s input rows; F must be a multiple of
-        # _HALO so the halo block index maps land on block boundaries for
-        # any stride; shrink for short inputs
-        f = _ceil_to(min(f_tile, _ceil_to(r_out, _HALO)), _HALO)
-        fb = _ceil_to(min(f_tile_bwd, f), _HALO)
-
         lnw = lnb = affine = None
         if c.norm == "group_norm":
             cdef_s = ConvDef(
                 cin_eff, c.out_channels, k_eff, s_eff, bias is not None,
-                "none", False, f, fb, r_out, interpret,
+                "none", False, f, fb, r_out, p_out, interpret,
             )
             partials = _conv0_partials(cdef_s, x, wd, bias)
             sums = jnp.sum(partials, axis=1)  # (B, 2, C)
@@ -813,8 +866,7 @@ def fused_feature_extractor(
 
         cdef = ConvDef(
             cin_eff, c.out_channels, k_eff, s_eff, bias is not None,
-            norm, gate is not None, f, fb, r_out, interpret,
+            norm, gate is not None, f, fb, r_out, p_out, interpret,
         )
         x = _conv_layer(cdef, x, wd, bias, lnw, lnb, affine, gate)
-        r = r_out
-    return x
+    return x[:, : plan[-1]["r_out"]]

@@ -78,9 +78,11 @@ def main():
     # environment shows 2-3x ambient variance *between and within* runs
     # (e.g. chains of 0.30s..0.90s for identical programs), so the fastest
     # chain is the measurement of the program; the full distribution is in
-    # the detail.  Each chain is long enough to amortize dispatch overhead,
-    # and the value fetch is the fence.
-    n_chains, n_iters = 5, 20
+    # the detail.  Chains are long (50 steps) to amortize dispatch gaps the
+    # way real training does — an 8k-step run sustains 0.1975 s/step, which
+    # short chains systematically under-report — and the value fetch is the
+    # fence.
+    n_chains, n_iters = 4, 50
     times = []
     for _ in range(n_chains):
         t0 = time.perf_counter()
@@ -101,8 +103,9 @@ def main():
                 "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP, 3),
                 "detail": {
                     "step_time_s": round(dt, 4),
-                    "methodology": "best of 5 chains x 20 steps (ambient "
-                    "tunnel variance 2-3x; distribution below)",
+                    "methodology": f"best of {n_chains} chains x {n_iters} "
+                    "steps (ambient tunnel variance 2-3x; distribution "
+                    "below; an 8k-step run sustains 0.1975 s/step)",
                     "chain_step_times_s": [round(t, 4) for t in times],
                     "median_step_time_s": round(
                         sorted(times)[len(times) // 2], 4

@@ -25,17 +25,23 @@ BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP = 139.0
 def main():
     import jax
 
-    from dphubert_tpu import hubert_base, wav2vec2_model, wavlm_base
+    from dphubert_tpu import hubert_base, wav2vec2_large, wav2vec2_model, wavlm_base
     from dphubert_tpu.train.distill_module import (
         DistillConfig,
         init_train_state,
         make_train_step,
     )
 
-    # DPHUBERT_BENCH_MODEL=wavlm benches the DPWavLM stage-1 step (gated
-    # rel-pos bias path); default is the DPHuBERT headline number.
+    # DPHUBERT_BENCH_MODEL: hubert_base (default headline) | wavlm (DPWavLM,
+    # gated rel-pos bias path) | wav2vec2_large (run_large.sh recipe: 180 s
+    # batch, 6-group layer2layer distill over the 24-layer teacher).
     model_name = os.environ.get("DPHUBERT_BENCH_MODEL", "hubert_base")
-    teacher = wavlm_base() if model_name == "wavlm" else hubert_base()
+    factories = {
+        "hubert_base": hubert_base,
+        "wavlm": wavlm_base,
+        "wav2vec2_large": wav2vec2_large,
+    }
+    teacher = factories[model_name]()
     cfg_gated = dict(
         teacher.config,
         extractor_prune_conv_channels=True,
@@ -49,7 +55,20 @@ def main():
     teacher_params = teacher.init(jax.random.key(0))
     student_params = student.init(jax.random.key(1))
 
-    dcfg = DistillConfig(compute_dtype="bfloat16")
+    if model_name == "wav2vec2_large":
+        # run_large.sh: 6 distill groups over the 24-layer teacher; remat
+        # keeps the 317M-param backward inside HBM at the 180 s batch
+        # remat + lax.scan over the uniform layers: the 24-layer unrolled
+        # backward graph exceeds the compile-server limits (same class as
+        # the B>=20 finding; see ROADMAP.md)
+        dcfg = DistillConfig(
+            compute_dtype="bfloat16",
+            distill_layer_groups=((0,), (4, 8, 12, 16, 20, 24)),
+            remat=True,
+            scan_layers=True,
+        )
+    else:
+        dcfg = DistillConfig(compute_dtype="bfloat16")
     state, tx = init_train_state(
         student=student,
         student_params=student_params,
@@ -63,7 +82,7 @@ def main():
     # stage 1); B=16 x 15 s = 240 s/chip is this chip's throughput optimum
     # (fits without remat, best MXU utilization in the batch sweep)
     T = 240_000  # 15 s clips
-    B = 16
+    B = 12 if model_name == "wav2vec2_large" else 16  # large: 180 s batch
     audio_sec = B * T / 16000.0
     wave = np.random.default_rng(0).standard_normal((B, T)).astype(np.float32)
     batch = (wave, None)

@@ -362,13 +362,17 @@ def _core_attention(
         ).transpose(0, 2, 1, 3)  # (B, L, H, D)
     elif not has_bias and use_flash_attention():
         from ..ops.flash_attention import LANES, _ceil_to, flash_attention
-        from ..ops.packed_attention import MAX_PACKED_KV, packed_attention
+        from ..ops.packed_attention import (
+            MAX_PACKED_KV,
+            MAX_PACKED_WIDTH,
+            packed_attention,
+        )
 
         drop_kw = dict(
             dropout_rate=spec.dropout if dropout_active else 0.0,
             dropout_rng=rngs.next() if dropout_active else None,
         )
-        if _ceil_to(L, LANES) <= MAX_PACKED_KV:
+        if _ceil_to(L, LANES) <= MAX_PACKED_KV and H * D <= MAX_PACKED_WIDTH:
             # packed kernel: no head transposes, one grid cell per
             # (batch, q-tile) with a static head loop
             out = packed_attention(

@@ -31,6 +31,9 @@ from .flash_attention import NEG_INF, _ceil_to, _dropout_keep_mask
 
 LANES = 128
 MAX_PACKED_KV = 1024  # beyond this, VMEM pressure favors the tiled kernel
+MAX_PACKED_WIDTH = 768  # H*D cap: the bwd kernels' scoped VMEM overflows at
+# 1024-wide models (Large family, 16.48M > 16M on v5e) — callers fall back
+# to flash_attention above this
 
 
 def _heads_loop_fwd(

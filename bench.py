@@ -34,8 +34,12 @@ def main():
 
     # DPHUBERT_BENCH_MODEL: hubert_base (default headline) | wavlm (DPWavLM,
     # gated rel-pos bias path) | wav2vec2_large (run_large.sh recipe: 180 s
-    # batch, 6-group layer2layer distill over the 24-layer teacher).
+    # batch, 6-group layer2layer distill over the 24-layer teacher) |
+    # pruned_inference (feature-extraction serving on the 21.95M student
+    # produced by the 8k-step recipe run; config in docs/).
     model_name = os.environ.get("DPHUBERT_BENCH_MODEL", "hubert_base")
+    if model_name == "pruned_inference":
+        return bench_inference()
     factories = {
         "hubert_base": hubert_base,
         "wavlm": wavlm_base,
@@ -134,6 +138,65 @@ def main():
                     "model": f"{model_name} distill step (teacher fwd + gated "
                     "student fwd/bwd + AdamW)",
                     "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+def bench_inference():
+    """Serving throughput: extract_features on the pruned 21.95M student
+    (docs/pruned_config_r2.json, the artifact of the 8k-step recipe run)."""
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from dphubert_tpu import wav2vec2_model
+
+    cfg = json.load(
+        open(pathlib.Path(__file__).parent / "docs" / "pruned_config_r2.json")
+    )
+    model = wav2vec2_model(**cfg)
+    params = model.init(jax.random.key(0))
+
+    B, T = 32, 240_000  # 8 min of audio per batch
+    audio_sec = B * T / 16000.0
+    wave = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, T)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    @jax.jit
+    def fwd(p, w):
+        outs, _ = model.extract_features(p, w, None)
+        return outs[-1]
+
+    y = fwd(params, wave)
+    float(jnp.sum(y.astype(jnp.float32)))
+
+    n_chains, n_iters = 4, 50
+    times = []
+    for _ in range(n_chains):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            y = fwd(params, wave)
+        float(jnp.sum(y.astype(jnp.float32)))
+        times.append((time.perf_counter() - t0) / n_iters)
+    dt = min(times)
+    value = audio_sec / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pruned_student_inference_audio_sec_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "audio-sec/s/chip",
+                "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP, 3),
+                "detail": {
+                    "step_time_s": round(dt, 4),
+                    "chain_step_times_s": [round(t, 4) for t in times],
+                    "batch_audio_sec": audio_sec,
+                    "batch_shape": [B, T],
+                    "model": "21.95M pruned student extract_features (bf16)",
                 },
             }
         )

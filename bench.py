@@ -105,7 +105,7 @@ def main():
     # way real training does — an 8k-step run sustains 0.1975 s/step, which
     # short chains systematically under-report — and the value fetch is the
     # fence.
-    n_chains, n_iters = 4, 50
+    n_chains, n_iters = 6, 50
     times = []
     for _ in range(n_chains):
         t0 = time.perf_counter()
@@ -174,7 +174,7 @@ def bench_inference():
     y = fwd(params, wave)
     float(jnp.sum(y.astype(jnp.float32)))
 
-    n_chains, n_iters = 4, 50
+    n_chains, n_iters = 6, 50
     times = []
     for _ in range(n_chains):
         t0 = time.perf_counter()

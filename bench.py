@@ -60,11 +60,10 @@ def main():
     student_params = student.init(jax.random.key(1))
 
     if model_name == "wav2vec2_large":
-        # run_large.sh: 6 distill groups over the 24-layer teacher; remat
-        # keeps the 317M-param backward inside HBM at the 180 s batch
-        # remat + lax.scan over the uniform layers: the 24-layer unrolled
-        # backward graph exceeds the compile-server limits (same class as
-        # the B>=20 finding; see ROADMAP.md)
+        # run_large.sh: 6 distill groups over the 24-layer teacher.  remat +
+        # lax.scan over the uniform layers: the 24-layer unrolled backward
+        # graph exceeds the compile-server limits (same class as the B>=20
+        # finding; see ROADMAP.md)
         dcfg = DistillConfig(
             compute_dtype="bfloat16",
             distill_layer_groups=((0,), (4, 8, 12, 16, 20, 24)),

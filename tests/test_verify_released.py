@@ -115,3 +115,32 @@ def test_released_checkpoint_parity():
     if expect:
         args += ["--expect_params", expect]
     assert cli_main(args) == 0
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+def test_harness_with_audio_file(tmp_path):
+    """--audio path: decode a real WAV through the native decoder and run
+    the layer-parity comparison on it."""
+    import wave as wavmod
+
+    from dphubert_tpu import wav2vec2_model
+
+    cfg = _small_pruned_config()
+    model = wav2vec2_model(**cfg)
+    params = model.init(jax.random.key(0))
+    state_dict = flatten_params(tree_to_numpy(params))
+    ckpt = tmp_path / "ck.pth"
+    save_checkpoint(ckpt, cfg, state_dict)
+
+    pcm = (
+        np.random.default_rng(0).standard_normal(8000) * 0.1 * 32767
+    ).astype(np.int16)
+    wav_path = tmp_path / "clip.wav"
+    with wavmod.open(str(wav_path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(pcm.tobytes())
+
+    rc = cli_main(["--ckpt", str(ckpt), "--audio", str(wav_path)])
+    assert rc == 0

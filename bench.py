@@ -25,6 +25,10 @@ BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP = 139.0
 def main():
     import jax
 
+    from dphubert_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from dphubert_tpu import hubert_base, wav2vec2_large, wav2vec2_model, wavlm_base
     from dphubert_tpu.train.distill_module import (
         DistillConfig,

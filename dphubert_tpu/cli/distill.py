@@ -71,6 +71,12 @@ def add_common_training_args(parser: ArgumentParser) -> None:
     parser.add_argument("--cos_weight", default=1.0, type=float)
     parser.add_argument("--cos_type", default="raw", choices=["raw", "log_sig"])
     parser.add_argument("--seed", default=2022, type=int)
+    parser.add_argument("--compile_cache_dir", default=None,
+                        help="Persistent XLA compilation cache directory "
+                        "(default ~/.cache/dphubert_tpu/xla; env "
+                        "DPHUBERT_COMPILE_CACHE=off disables). Later "
+                        "processes skip the multi-minute per-shape remote "
+                        "compiles.")
 
 
 def _parse_args():
@@ -84,6 +90,9 @@ def _parse_args():
 
 
 def run_train(args, use_reg: bool = True):
+    from ..utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache(getattr(args, "compile_cache_dir", None))
     teacher, teacher_params, _ = load_model_ckpt(args.teacher_ckpt)
 
     _, _, student_ckpt = load_model_ckpt(args.student_ckpt)

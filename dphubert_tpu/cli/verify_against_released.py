@@ -47,8 +47,19 @@ def cli_main(argv=None):
 
     import jax
 
-    if jax.default_backend() != "cpu":
+    # Force CPU BEFORE any device/backend query: jax.default_backend() would
+    # initialize the env-pinned backend (the shared TPU chip via the relay
+    # tunnel), after which switching platforms throws or is ignored — and the
+    # <=1e-4 check would run on bf16-ish TPU matmuls and spuriously fail.
+    try:
         jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        # a backend is already live (e.g. under pytest with conftest's CPU
+        # switch, or an embedding process); verify it is actually CPU
+        if jax.default_backend() != "cpu":
+            print("FAIL: a non-CPU jax backend is already initialized; "
+                  "run this tool in a fresh process")
+            return 2
 
     from ..interop.torch_ckpt import load_checkpoint, load_model
     from ..params import num_leaves_numel

@@ -236,11 +236,17 @@ def train(
     epoch = 0
     done = False
 
+    # orbax steps are save-once: seed from the directory so a resumed run's
+    # SIGTERM/final save cannot collide with a step already on disk
     last_saved = {"step": -1}
+    if ckpt_mgr is not None:
+        existing = ckpt_mgr.latest_step()
+        if existing is not None:
+            last_saved["step"] = existing
 
     def _checkpoint():
         if ckpt_mgr is not None:
-            if step != last_saved["step"]:  # orbax steps are save-once
+            if step != last_saved["step"]:
                 ckpt_mgr.save(step, state)  # async; all processes participate
                 last_saved["step"] = step
         elif is_main:

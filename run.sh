@@ -23,6 +23,12 @@ max_updates=${MAX_UPDATES:-50000}
 seconds_per_batch=${SECONDS_PER_BATCH:-160}   # per chip
 clip_norm=10
 
+# TPU runtime knobs (not part of the published recipe)
+ckpt_backend=${CKPT_BACKEND:-npz}             # orbax: async + keep-last-N
+num_shapes=${NUM_SHAPES:-12}                  # static length-bucket ladder
+log_interval=${LOG_INTERVAL:-50}
+ckpt_interval=${CKPT_INTERVAL:-1000}
+
 pruning_units="conv,head,interm"
 reg_learning_rate=0.02
 target_sparsity=${TARGET_SPARSITY:-0.75}
@@ -49,6 +55,8 @@ python -m dphubert_tpu.cli.distill \
   --pruning_units "$pruning_units" --reg_learning_rate "$reg_learning_rate" \
   --target_sparsity "$target_sparsity" \
   --sparsity_warmup_updates "$sparsity_warmup_updates" \
+  --ckpt_backend "$ckpt_backend" --num_shapes "$num_shapes" \
+  --log_interval "$log_interval" --ckpt_interval "$ckpt_interval" \
   --precision bf16 2>&1 | tee "$root_dir/stage1.log" || exit 1
 
 # ---- stage 1.5: mask surgery ----
@@ -69,6 +77,8 @@ python -m dphubert_tpu.cli.final_distill \
   --learning_rate "$final_learning_rate" \
   --warmup_updates "$final_warmup_updates" \
   --max_updates "$final_max_updates" --clip_norm "$clip_norm" \
+  --ckpt_backend "$ckpt_backend" --num_shapes "$num_shapes" \
+  --log_interval "$log_interval" --ckpt_interval "$ckpt_interval" \
   --precision bf16 2>&1 | tee "$root_dir/stage2.log"
 
 # ---- stage 3: merge + export the portable checkpoint ----

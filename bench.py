@@ -100,24 +100,25 @@ def main():
     state, m = step_fn(state, teacher_params, batch)
     float(m["loss"])
 
-    # Several chained runs; report the best chain.  The shared-tunnel
-    # environment shows 2-3x ambient variance *between and within* runs
-    # (e.g. chains of 0.30s..0.90s for identical programs), so the fastest
-    # chain is the measurement of the program; the full distribution is in
-    # the detail.  Chains are long (50 steps) to amortize dispatch gaps the
-    # way real training does — an 8k-step run sustains 0.1975 s/step, which
-    # short chains systematically under-report — and the value fetch is the
-    # fence.
-    n_chains, n_iters = 6, 50
+    # Sustained-run methodology (primary): one long run of
+    # DPHUBERT_BENCH_STEPS steps (default 400), timed as consecutive
+    # 50-step segments with a concrete value fetch fencing each segment.
+    # The reported value is the MEDIAN segment rate — sustained like a real
+    # training run, robust to the shared tunnel's ambient 2-3x blips (the
+    # full distribution rides in detail; an 8k-step training run sustained
+    # 0.1975 s/step at this batch, which best-of-chains over-reports and
+    # single short chains under-report).
+    n_steps = int(os.environ.get("DPHUBERT_BENCH_STEPS", "400"))
+    seg = 50
     times = []
-    for _ in range(n_chains):
+    for _ in range(max(n_steps // seg, 1)):
         t0 = time.perf_counter()
-        for _ in range(n_iters):
+        for _ in range(seg):
             state, m = step_fn(state, teacher_params, batch)
-        final_loss = float(m["loss"])  # forces the whole chained sequence
-        times.append((time.perf_counter() - t0) / n_iters)
+        final_loss = float(m["loss"])  # forces the whole chained segment
+        times.append((time.perf_counter() - t0) / seg)
         assert np.isfinite(final_loss)
-    dt = min(times)
+    dt = sorted(times)[len(times) // 2]
 
     value = audio_sec / dt
     print(
@@ -129,13 +130,13 @@ def main():
                 "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP, 3),
                 "detail": {
                     "step_time_s": round(dt, 4),
-                    "methodology": f"best of {n_chains} chains x {n_iters} "
-                    "steps (ambient tunnel variance 2-3x; distribution "
-                    "below; an 8k-step run sustains 0.1975 s/step)",
-                    "chain_step_times_s": [round(t, 4) for t in times],
-                    "median_step_time_s": round(
-                        sorted(times)[len(times) // 2], 4
-                    ),
+                    "methodology": f"sustained {len(times)*seg}-step run; "
+                    f"value = median of {len(times)} x {seg}-step segment "
+                    "rates (distribution below; shared-tunnel ambient "
+                    "variance 2-3x)",
+                    "segment_step_times_s": [round(t, 4) for t in times],
+                    "best_segment_step_time_s": round(min(times), 4),
+                    "overall_step_time_s": round(sum(times) / len(times), 4),
                     "batch_audio_sec": audio_sec,
                     "batch_shape": [B, T],
                     "model": f"{model_name} distill step (teacher fwd + gated "
@@ -177,15 +178,15 @@ def bench_inference():
     y = fwd(params, wave)
     float(jnp.sum(y.astype(jnp.float32)))
 
-    n_chains, n_iters = 6, 50
+    n_segments, n_iters = 8, 50
     times = []
-    for _ in range(n_chains):
+    for _ in range(n_segments):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             y = fwd(params, wave)
         float(jnp.sum(y.astype(jnp.float32)))
         times.append((time.perf_counter() - t0) / n_iters)
-    dt = min(times)
+    dt = sorted(times)[len(times) // 2]
     value = audio_sec / dt
     print(
         json.dumps(
@@ -196,7 +197,9 @@ def bench_inference():
                 "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP, 3),
                 "detail": {
                     "step_time_s": round(dt, 4),
-                    "chain_step_times_s": [round(t, 4) for t in times],
+                    "methodology": f"sustained {n_segments*n_iters}-iter run; "
+                    f"median of {n_segments} x {n_iters}-iter segment rates",
+                    "segment_step_times_s": [round(t, 4) for t in times],
                     "batch_audio_sec": audio_sec,
                     "batch_shape": [B, T],
                     "model": "21.95M pruned student extract_features (bf16)",

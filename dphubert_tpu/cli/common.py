@@ -48,7 +48,7 @@ def merge_params(template, source):
     return out
 
 
-def build_loader(args, subset: str, num_replicas: int = 1, rank: int = 0,
+def build_loader(args, subset: str, num_replicas: int = 1,
                  shuffle_seed: int = 0):
     """``seconds_per_batch`` is the per-replica audio budget (same semantics
     as the reference CLI, where each DDP rank packs its own batches); the
@@ -62,7 +62,6 @@ def build_loader(args, subset: str, num_replicas: int = 1, rank: int = 0,
         num_shapes=getattr(args, "num_shapes", 12),
         seed=shuffle_seed,
         num_replicas=num_replicas,
-        rank=rank,
     )
     shard = None
     if jax.process_count() > 1:

@@ -89,12 +89,22 @@ class DistillDataLoader:
             out[row] = crop_to(self.dataset.load(int(i)), rung, rng, self.rand_crop)
         return out
 
-    def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
+    def epoch(self, epoch: int, skip: int = 0
+              ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
+        """Iterate one epoch's batches; ``skip`` drops the first k batches
+        without decoding them (checkpoint resume mid-epoch) while keeping
+        the remaining batches' crop randomness identical to an
+        uninterrupted epoch — each batch's rng seed is derived from its
+        position, not from how many batches were actually produced."""
         batches = self.batcher.epoch_batches(epoch)
         rng = np.random.default_rng(self.seed + 7919 * epoch)
+        # per-batch independent rng keeps decode order (and resume skips)
+        # irrelevant to the crop stream
+        seeds = [int(rng.integers(2**63)) for _ in batches]
+        batches, seeds = batches[skip:], seeds[skip:]
         if self.num_workers <= 0:
-            for rung, idx in batches:
-                yield self._make_batch(rung, idx, rng), None
+            for (rung, idx), seed in zip(batches, seeds):
+                yield self._make_batch(rung, idx, np.random.default_rng(seed)), None
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -103,11 +113,10 @@ class DistillDataLoader:
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 futures = []
-                for rung, idx in batches:
+                for (rung, idx), seed in zip(batches, seeds):
                     if stop.is_set():
                         break
-                    # per-batch independent rng keeps decode order irrelevant
-                    brng = np.random.default_rng(rng.integers(2**63))
+                    brng = np.random.default_rng(seed)
                     futures.append(pool.submit(self._make_batch, rung, idx, brng))
                     while len(futures) >= self.prefetch:
                         q.put(futures.pop(0).result())

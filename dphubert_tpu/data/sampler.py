@@ -171,7 +171,6 @@ class StaticShapeBatcher:
         num_shapes: int = 12,
         seed: int = 0,
         num_replicas: int = 1,
-        rank: int = 0,
         drop_last: bool = True,
     ) -> None:
         if max_len > max_token_count:
@@ -182,7 +181,6 @@ class StaticShapeBatcher:
         self.max_token_count = int(max_token_count)
         self.seed = seed
         self.num_replicas = num_replicas
-        self.rank = rank
         self.drop_last = drop_last
 
         ratio = (max_len / min_len) ** (1.0 / (num_shapes - 1))
@@ -214,9 +212,10 @@ class StaticShapeBatcher:
         """List of (rung_length, global_sample_indices) for one epoch.
 
         Each entry's index array has ``batch_size(rung) * num_replicas``
-        entries; rank ``r`` consumes the r-th stride.  Deterministic given
-        (seed, epoch) on every rank — the reference achieves cross-rank
-        consistency the same way (seed+epoch generator,
+        entries — the *global* batch; per-host decoding of only the rows a
+        process owns happens in ``DistillDataLoader(shard=...)``.
+        Deterministic given (seed, epoch) on every rank — the reference
+        achieves cross-rank consistency the same way (seed+epoch generator,
         audio_dataset.py:196-199).
         """
         rng = np.random.default_rng(self.seed + epoch)

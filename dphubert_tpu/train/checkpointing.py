@@ -22,21 +22,33 @@ pytree.
 from __future__ import annotations
 
 import pathlib
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .distill_module import TrainState
 
 
-def _to_pytree(state: TrainState):
-    return state._replace(rng=jax.random.key_data(state.rng))._asdict()
+def _to_pytree(state: TrainState, epoch: int = 0, batch_in_epoch: int = 0):
+    tree = state._replace(rng=jax.random.key_data(state.rng))._asdict()
+    # deterministic-batcher position: lets resume skip already-consumed
+    # batches so the sample stream matches an uninterrupted run
+    tree["data_pos"] = {
+        "epoch": np.asarray(epoch, np.int32),
+        "batch_in_epoch": np.asarray(batch_in_epoch, np.int32),
+    }
+    return tree
 
 
-def _from_pytree(tree, template: TrainState) -> TrainState:
+def _from_pytree(tree) -> Tuple[TrainState, Tuple[int, int]]:
+    pos = tree.pop("data_pos", None)
     state = TrainState(**tree)
-    return state._replace(rng=jax.random.wrap_key_data(jnp.asarray(state.rng)))
+    state = state._replace(rng=jax.random.wrap_key_data(jnp.asarray(state.rng)))
+    if pos is None:
+        return state, (0, 0)
+    return state, (int(pos["epoch"]), int(pos["batch_in_epoch"]))
 
 
 class AsyncCheckpointer:
@@ -58,22 +70,36 @@ class AsyncCheckpointer:
         )
         self.manager = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, step: int, state: TrainState) -> None:
+    def save(self, step: int, state: TrainState, *, epoch: int = 0,
+             batch_in_epoch: int = 0) -> None:
         self.manager.save(
-            int(step), args=self._ocp.args.StandardSave(_to_pytree(state))
+            int(step),
+            args=self._ocp.args.StandardSave(
+                _to_pytree(state, epoch, batch_in_epoch)
+            ),
         )
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
-    def restore(self, step: int, template: TrainState) -> TrainState:
-        tree = self.manager.restore(
-            int(step),
-            args=self._ocp.args.StandardRestore(_to_pytree(template)),
-        )
-        return _from_pytree(tree, template)
+    def restore(self, step: int, template: TrainState
+                ) -> Tuple[TrainState, Tuple[int, int]]:
+        """Returns (state, (epoch, batch_in_epoch)).  Checkpoints written
+        before data-position tracking restore with position (0, 0)."""
+        tmpl = _to_pytree(template)
+        try:
+            tree = self.manager.restore(
+                int(step), args=self._ocp.args.StandardRestore(tmpl)
+            )
+        except (KeyError, ValueError):
+            tmpl.pop("data_pos")
+            tree = self.manager.restore(
+                int(step), args=self._ocp.args.StandardRestore(tmpl)
+            )
+        return _from_pytree(tree)
 
-    def restore_latest(self, template: TrainState) -> Optional[TrainState]:
+    def restore_latest(self, template: TrainState
+                       ) -> Optional[Tuple[TrainState, Tuple[int, int]]]:
         step = self.latest_step()
         if step is None:
             return None

@@ -75,16 +75,33 @@ class MetricLogger:
         print(f"[train] {msg}", flush=True)
 
 
-def save_train_state(path, state: TrainState) -> None:
+def save_train_state(path, state: TrainState, *, epoch: int = 0,
+                     batch_in_epoch: int = 0) -> None:
     """Full-fidelity training-state checkpoint (params + Adam moments +
-    step + rng) as a flat npz — resume-exact, torch-free."""
+    step + rng + data position) as a flat npz — resume-exact, torch-free.
+
+    ``epoch``/``batch_in_epoch`` record the deterministic batcher's position
+    so a resumed run consumes exactly the batches an uninterrupted run would
+    (the reference restores Lightning's epoch/loop state the same way,
+    distill.py:141-144,180-185)."""
     flat = {}
     leaves, treedef = jax.tree_util.tree_flatten(
         state._replace(rng=jax.random.key_data(state.rng))
     )
     for i, leaf in enumerate(leaves):
         flat[f"leaf_{i}"] = np.asarray(leaf)
-    np.savez(path, __num_leaves__=np.asarray(len(leaves)), **flat)
+    np.savez(path, __num_leaves__=np.asarray(len(leaves)),
+             __epoch__=np.asarray(epoch),
+             __batch_in_epoch__=np.asarray(batch_in_epoch), **flat)
+
+
+def load_train_position(path) -> tuple:
+    """(epoch, batch_in_epoch) recorded in an npz training checkpoint
+    (0, 0 for checkpoints written before data-position tracking)."""
+    data = np.load(path)
+    if "__epoch__" not in data:
+        return 0, 0
+    return int(data["__epoch__"]), int(data["__batch_in_epoch__"])
 
 
 def load_train_state(path, template: TrainState) -> TrainState:
@@ -193,6 +210,7 @@ def train(
         # commit); rotation keeps the last ``ckpt_keep`` steps
         ckpt_mgr = AsyncCheckpointer(exp_dir / "ckpts" / "orbax", keep=ckpt_keep)
 
+    resume_pos = (0, 0)  # (epoch, batches already consumed in that epoch)
     if resume:
         if pathlib.Path(resume).is_dir():
             from .checkpointing import AsyncCheckpointer
@@ -205,12 +223,14 @@ def train(
             restored = mgr.restore_latest(state)
             if restored is None:
                 raise FileNotFoundError(f"no checkpoints under {resume}")
-            state = restored
+            state, resume_pos = restored
             if mgr is not ckpt_mgr:
                 mgr.close()
         else:
+            resume_pos = load_train_position(resume)
             state = load_train_state(resume, state)
-        print(f"[train] resumed from {resume} at step {int(state.step)}")
+        print(f"[train] resumed from {resume} at step {int(state.step)} "
+              f"(epoch {resume_pos[0]}, batch {resume_pos[1]})")
 
     # preemption safety: a SIGTERM checkpoints the full training state before
     # exit (the reference relies on manual --resume_checkpoint only)
@@ -233,7 +253,8 @@ def train(
     accum = max(cfg.accum_grad, 1)
     max_micro_steps = cfg.max_updates * accum
     step = int(state.step)
-    epoch = 0
+    epoch, skip = resume_pos
+    batch_in_epoch = skip
     done = False
 
     # orbax steps are save-once: seed from the directory so a resumed run's
@@ -247,13 +268,16 @@ def train(
     def _checkpoint():
         if ckpt_mgr is not None:
             if step != last_saved["step"]:
-                ckpt_mgr.save(step, state)  # async; all processes participate
+                # async; all processes participate
+                ckpt_mgr.save(step, state, epoch=epoch,
+                              batch_in_epoch=batch_in_epoch)
                 last_saved["step"] = step
         elif is_main:
-            save_train_state(exp_dir / "ckpts" / "last.npz", state)
+            save_train_state(exp_dir / "ckpts" / "last.npz", state,
+                             epoch=epoch, batch_in_epoch=batch_in_epoch)
 
     while not done:
-        for wave, lengths in loader.epoch(epoch):
+        for wave, lengths in _epoch_iter(loader, epoch, skip):
             audio_sec = (
                 wave.shape[0] * jax.process_count() * wave.shape[1] / 16000
             )
@@ -262,6 +286,7 @@ def train(
                 wave = global_batch_from_local(bsh, wave, gshape)
             state, metrics = step_fn(state, teacher_params, (wave, lengths))
             step += 1
+            batch_in_epoch += 1
             metrics["updates"] = step // accum
             logger.log(step, metrics, audio_seconds=audio_sec)
             if step % ckpt_interval == 0:
@@ -274,9 +299,13 @@ def train(
             if step >= max_micro_steps:
                 done = True
                 break
-        if eval_fn is not None and not done:
+        if done:
+            break  # keep (epoch, batch_in_epoch) for the final checkpoint
+        if eval_fn is not None:
             _run_validation(eval_fn, state, teacher_params, student, valid_loader, bsh, step)
         epoch += 1
+        skip = 0
+        batch_in_epoch = 0
 
     _checkpoint()
     if ckpt_mgr is not None:
@@ -284,6 +313,20 @@ def train(
     if prev_handler is not None:
         signal.signal(signal.SIGTERM, prev_handler)
     return state
+
+
+def _epoch_iter(loader, epoch: int, skip: int):
+    """loader.epoch with a resume skip; loaders without ``skip`` support
+    (e.g. test doubles) fall back to iterate-and-drop."""
+    if not skip:
+        return loader.epoch(epoch)
+    try:
+        return loader.epoch(epoch, skip=skip)
+    except TypeError:
+        it = loader.epoch(epoch)
+        for _ in range(skip):
+            next(it, None)
+        return it
 
 
 def _run_validation(eval_fn, state, teacher_params, student, valid_loader, bsh, step):

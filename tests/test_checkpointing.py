@@ -33,13 +33,14 @@ def test_orbax_roundtrip_exact(tmp_path):
     state = _make_state(0)
     state = state._replace(step=state.step + 17)
     mgr = AsyncCheckpointer(tmp_path / "ck", keep=2)
-    mgr.save(17, state)
+    mgr.save(17, state, epoch=3, batch_in_epoch=41)
     mgr.wait()
 
     template = _make_state(9)
-    restored = mgr.restore_latest(template)
+    restored, pos = mgr.restore_latest(template)
     mgr.close()
     assert int(restored.step) == 17
+    assert pos == (3, 41)
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(

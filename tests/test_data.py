@@ -73,9 +73,9 @@ def test_static_shape_batcher_closed_shape_set():
 def test_static_shape_batcher_deterministic_and_replica_consistent():
     lengths = np.random.default_rng(1).integers(32000, 250001, size=300)
     b1 = StaticShapeBatcher(lengths, max_token_count=500000, seed=7,
-                            num_replicas=2, rank=0)
+                            num_replicas=2)
     b2 = StaticShapeBatcher(lengths, max_token_count=500000, seed=7,
-                            num_replicas=2, rank=1)
+                            num_replicas=2)
     e1, e2 = b1.epoch_batches(3), b2.epoch_batches(3)
     assert len(e1) == len(e2)
     for (r1, i1), (r2, i2) in zip(e1, e2):
@@ -176,3 +176,97 @@ def test_resume_through_trainer(tmp_path):
                   exp_dir=exp3, log_interval=100, ckpt_interval=100,
                   resume=str(exp2 / "ckpts" / "last.npz"))
     assert int(s_res.step) == 4
+
+
+def test_loader_skip_matches_tail():
+    """epoch(e, skip=k) must yield exactly the batches an uninterrupted
+    epoch(e) yields from position k on — same samples AND same crops (the
+    per-batch rng seed is positional, not consumption-order)."""
+    from dphubert_tpu.data.loader import DistillDataLoader
+
+    class MemDataset:
+        def __init__(self, n):
+            rng = np.random.default_rng(0)
+            self.len_list = rng.integers(800, 1600, size=n)
+            self.waves = [
+                rng.standard_normal(l).astype(np.float32) for l in self.len_list
+            ]
+
+        def load(self, i):
+            return self.waves[i]
+
+    ds = MemDataset(64)
+    batcher = StaticShapeBatcher(
+        ds.len_list, max_token_count=4000, min_len=400, max_len=1600,
+        num_shapes=3, seed=5,
+    )
+    for workers in (0, 2):
+        loader = DistillDataLoader(ds, batcher, num_workers=workers, seed=11)
+        full = [w for w, _ in loader.epoch(0)]
+        tail = [w for w, _ in loader.epoch(0, skip=3)]
+        assert len(tail) == len(full) - 3
+        for a, b in zip(full[3:], tail):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_resume_replays_exact_batch_sequence(tmp_path):
+    """(train 5, preempt, resume, train 5) consumes exactly the batch
+    sequence of an uninterrupted 10-step run — the data position
+    (epoch, batch_in_epoch) rides the checkpoint (reference restores
+    Lightning's loop state the same way, distill.py:141-144,180-185)."""
+    import signal
+
+    import jax
+
+    from dphubert_tpu import wav2vec2_model
+    from dphubert_tpu.train.distill_module import DistillConfig
+    from dphubert_tpu.train.trainer import train
+
+    from tests.test_forward_parity import _tiny_w2v2_config
+
+    class SeqLoader:
+        """4 batches per epoch, each identified by (epoch, index); supports
+        the resume ``skip`` protocol and records every batch it serves."""
+
+        def __init__(self, sigterm_after=None):
+            self.sigterm_after = sigterm_after
+            self.served = []
+
+        def epoch(self, e, skip=0):
+            for i in range(skip, 4):
+                self.served.append((e, i))
+                wave = np.full((2, 4000), 0.01 * (7 * e + i), np.float32)
+                if self.sigterm_after is not None and len(self.served) == self.sigterm_after:
+                    # lands while the trainer steps on this batch: it
+                    # finishes the step, then notices the flag
+                    signal.raise_signal(signal.SIGTERM)
+                yield wave, None
+
+    cfg = _tiny_w2v2_config()
+    teacher = wav2vec2_model(**cfg)
+    student = wav2vec2_model(**cfg)
+    tp = teacher.init(jax.random.key(0))
+    sp = student.init(jax.random.key(1))
+    base = dict(teacher=teacher, teacher_params=tp, student=student,
+                student_params=sp, log_interval=100, ckpt_interval=100)
+    dcfg = DistillConfig(use_reg=False, distill_layer_groups=((0,), (1, 3)),
+                         warmup_updates=2, max_updates=10)
+
+    full_loader = SeqLoader()
+    s_full = train(cfg=dcfg, exp_dir=tmp_path / "a", loader=full_loader, **base)
+    assert int(s_full.step) == 10
+
+    # preempt: SIGTERM lands when batch 5 has been served; the trainer
+    # finishes that step, checkpoints (epoch=1, batch_in_epoch=1), exits
+    half_loader = SeqLoader(sigterm_after=5)
+    s_half = train(cfg=dcfg, exp_dir=tmp_path / "b", loader=half_loader, **base)
+    assert int(s_half.step) == 5
+
+    res_loader = SeqLoader()
+    s_res = train(cfg=dcfg, exp_dir=tmp_path / "c", loader=res_loader,
+                  resume=str(tmp_path / "b" / "ckpts" / "last.npz"), **base)
+    assert int(s_res.step) == 10
+    assert half_loader.served + res_loader.served == full_loader.served
+    # and the resumed state matches the uninterrupted run bitwise
+    for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_res.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -34,12 +34,12 @@ def write_wav(path: pathlib.Path, wave: np.ndarray, sr: int = 16000) -> None:
 
 
 def _sample_length(rng: np.random.Generator) -> int:
-    # 60% on the ladder's top rung (249920..250000 samples — the loader
-    # filters anything past max_len=250000), 40% on the second rung
-    # (207360..249919): two static shapes cover the whole run
+    # 60% on the ladder's 207360 rung (B=12 at the 160 s budget), 40% on
+    # the 171840 rung (B=14): two static shapes <=648 encoder frames cover
+    # the whole run
     if rng.random() < 0.6:
-        return int(rng.integers(249_920, 250_001))
-    return int(rng.integers(208_000, 249_000))
+        return int(rng.integers(208_000, 249_600))
+    return int(rng.integers(172_480, 207_359))
 
 
 def synth_utterance(rng: np.random.Generator, n: int) -> np.ndarray:

@@ -469,7 +469,11 @@ def self_attention_forward(
     if spec.remaining_heads is not None and len(spec.remaining_heads) != TH:
         keep_heads = jnp.asarray(spec.remaining_heads)
 
-    if position_bias is not None and use_flash_attention():
+    # the fused kernel masks padding from ``lengths`` only; a caller passing
+    # a general attn_mask without lengths must take the dense path or the
+    # mask would be silently dropped
+    if (position_bias is not None and use_flash_attention()
+            and not (attn_mask is not None and lengths is None)):
         # fused path: the bias stays factored as (H, L, L) x (B, H, L) and
         # the gated sum is recomputed inside the kernel (wavlm_attention.py)
         bias_hll = position_bias

@@ -27,9 +27,9 @@ import optax
 from ..models.gates import has_gates, sample_gates
 from ..models.model import Wav2Vec2Model
 from ..models.size import model_size
-from .losses import distill_loss
+from .losses import distill_loss_unstacked
 from .optim import build_optimizer
-from .projections import apply_projections, flatten_groups, init_projections
+from .projections import flatten_groups, init_projections
 
 
 @dataclass(frozen=True)
@@ -154,9 +154,6 @@ def _distill_forward(
         jax.lax.stop_gradient(teacher_params), wave, lengths, training=False,
         scan_layers=cfg.scan_layers,
     )
-    teacher_stack = jax.lax.stop_gradient(
-        jnp.stack([teacher_hiddens[i] for i in distill_layers], axis=1)
-    )
 
     rng_d = None
     if training:
@@ -171,13 +168,16 @@ def _distill_forward(
         remat=cfg.remat,
         scan_layers=cfg.scan_layers,
     )
-    student_stack = apply_projections(
-        params["projs"], cfg.distill_mode, cfg.distill_layer_groups, student_hiddens
-    )
-
-    loss_d, (l_mse, l_l1, l_cos) = distill_loss(
-        student_stack,
-        teacher_stack,
+    # per-layer fused projection+loss — no (B, n_layers, T, 768) stacks
+    # through HBM; identical math to the reference's stacked form
+    # (lightning.py:116-139,254-263), see losses.distill_loss_unstacked
+    loss_d, (l_mse, l_l1, l_cos) = distill_loss_unstacked(
+        params["projs"],
+        cfg.distill_mode,
+        cfg.distill_layer_groups,
+        student_hiddens,
+        teacher_hiddens,
+        distill_layers,
         l2_weight=cfg.l2_weight,
         l1_weight=cfg.l1_weight,
         cos_weight=cfg.cos_weight,

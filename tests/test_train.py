@@ -306,3 +306,47 @@ def test_accum_grad_counts_optimizer_updates(tmp_path):
     # 2 updates x 3 micro-steps each
     assert int(final.step) == 6
     assert int(final.opt_state.gradient_step) == 2
+
+
+@pytest.mark.parametrize("mode", ["layer2layer", "predlayer"])
+@pytest.mark.parametrize("cos_type", ["raw", "log_sig"])
+def test_unstacked_loss_matches_stacked(mode, cos_type):
+    """distill_loss_unstacked (the train step's fused per-layer path) must
+    equal apply_projections + distill_loss (the reference's stacked form) in
+    value AND gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from dphubert_tpu.train.losses import distill_loss, distill_loss_unstacked
+    from dphubert_tpu.train.projections import (
+        apply_projections,
+        flatten_groups,
+        init_projections,
+    )
+
+    groups = ((0,), (1, 3))
+    flat = flatten_groups(groups)
+    B, L, ds, dt = 2, 9, 16, 24
+    rng = np.random.default_rng(0)
+    hiddens = [jnp.asarray(rng.standard_normal((B, L, ds)), jnp.float32)
+               for _ in range(4)]
+    teacher_hiddens = [jnp.asarray(rng.standard_normal((B, L, dt)), jnp.float32)
+                       for _ in range(4)]
+    projs = init_projections(mode, groups, ds, dt, jax.random.key(3))
+    kw = dict(l2_weight=0.5, l1_weight=1.0, cos_weight=1.0, cos_type=cos_type)
+
+    def stacked(projs, hiddens):
+        s = apply_projections(projs, mode, groups, hiddens)
+        t = jnp.stack([teacher_hiddens[i] for i in flat], axis=1)
+        return distill_loss(s, t, **kw)[0]
+
+    def unstacked(projs, hiddens):
+        return distill_loss_unstacked(
+            projs, mode, groups, hiddens, teacher_hiddens, flat, **kw
+        )[0]
+
+    v1, g1 = jax.value_and_grad(stacked, argnums=(0, 1))(projs, hiddens)
+    v2, g2 = jax.value_and_grad(unstacked, argnums=(0, 1))(projs, hiddens)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

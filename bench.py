@@ -20,6 +20,11 @@ import time
 import numpy as np
 
 BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP = 139.0
+# wav2vec2-Large: the reference publishes no Large wall-clock (README.md:84
+# covers the Base recipe only), so the per-chip baseline is DERIVED from the
+# Base number by parameter count: 139 x (94.68M / 317.4M) — the Large recipe
+# itself is run_large.sh:21-34,44-55 (60 s/batch/GPU, accum 3, 140k+70k).
+LARGE_BASELINE_DERIVED = 41.5
 
 
 def main():
@@ -121,14 +126,23 @@ def main():
     dt = sorted(times)[len(times) // 2]
 
     value = audio_sec / dt
+    baseline = (LARGE_BASELINE_DERIVED if model_name == "wav2vec2_large"
+                else BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP)
+    extra = (
+        {"baseline_note": "derived baseline: no measured reference Large "
+         "wall-clock exists; 139 audio-sec/s/chip (Base, measured) scaled "
+         "by the 94.68M/317.4M parameter ratio = 41.5"}
+        if model_name == "wav2vec2_large" else {}
+    )
     print(
         json.dumps(
             {
                 "metric": "distill_step_audio_sec_per_sec_per_chip",
                 "value": round(value, 2),
                 "unit": "audio-sec/s/chip",
-                "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC_PER_CHIP, 3),
+                "vs_baseline": round(value / baseline, 3),
                 "detail": {
+                    **extra,
                     "step_time_s": round(dt, 4),
                     "methodology": f"sustained {len(times)*seg}-step run; "
                     f"value = median of {len(times)} x {seg}-step segment "

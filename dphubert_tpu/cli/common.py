@@ -69,4 +69,7 @@ def build_loader(args, subset: str, num_replicas: int = 1,
     return DistillDataLoader(
         dataset, batcher, num_workers=args.num_workers, seed=shuffle_seed,
         shard=shard,
+        # PCM-exact int16 feed: half the host->device bytes (the feed link
+        # dominates step time when the chip is behind a tunnel)
+        feed_dtype="int16",
     )

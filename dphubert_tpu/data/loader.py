@@ -68,6 +68,7 @@ class DistillDataLoader:
         rand_crop: bool = True,
         seed: int = 0,
         shard: Optional[Tuple[int, int]] = None,  # (process_index, count)
+        feed_dtype: str = "float32",
     ) -> None:
         self.dataset = dataset
         self.batcher = batcher
@@ -78,15 +79,30 @@ class DistillDataLoader:
         # multi-host: decode only the rows this process's devices own; the
         # batch order is deterministic so all hosts agree on the global batch
         self.shard = shard
+        # "int16": feed PCM-scale integers and let the (jitted) train step
+        # divide by 32768 on device — bit-identical to the float32 feed for
+        # int16-sourced audio (WAV/FLAC), at half the host->device bytes.
+        # The feed link is the step-time bottleneck when the accelerator is
+        # remote (PCIe is fine; a tunnel is not).
+        if feed_dtype not in ("float32", "int16"):
+            raise ValueError(feed_dtype)
+        self.feed_dtype = feed_dtype
 
     def _make_batch(self, rung: int, idx: np.ndarray, rng: np.random.Generator):
         if self.shard is not None:
             p, n = self.shard
             local = len(idx) // n
             idx = idx[p * local : (p + 1) * local]
-        out = np.empty((len(idx), rung), dtype=np.float32)
+        int16 = self.feed_dtype == "int16"
+        out = np.empty((len(idx), rung), dtype=np.int16 if int16 else np.float32)
         for row, i in enumerate(idx):
-            out[row] = crop_to(self.dataset.load(int(i)), rung, rng, self.rand_crop)
+            w = crop_to(self.dataset.load(int(i)), rung, rng, self.rand_crop)
+            # float came from PCM/32768, so *32768 recovers the exact
+            # integers (clip guards non-PCM synthetic sources)
+            out[row] = (
+                np.clip(w * 32768.0, -32768, 32767).astype(np.int16)
+                if int16 else w
+            )
         return out
 
     def epoch(self, epoch: int, skip: int = 0

@@ -186,17 +186,13 @@ def feature_extractor_forward(
 ):
     """(B, T) waveform -> (B, frames, C) features (reference
     ``components.py:158-185``); applies the non-trainable ``dummy_weight``
-    carrier so last-layer soft masks survive into checkpoints."""
-    from ..ops.fused_conv import fused_feature_extractor, use_fused_conv
+    carrier so last-layer soft masks survive into checkpoints.
 
-    if use_fused_conv(spec):
-        # fused Pallas path: conv + bias + norm + GELU + gate per stage in
-        # one kernel, time-major layout (no final transpose needed)
-        x = fused_feature_extractor(p, spec, wave, gates)
-        x = x * p["dummy_weight"].astype(x.dtype)
-        if lengths is not None:
-            lengths = output_lengths(spec, lengths)
-        return x, lengths
+    Runs on XLA's native TPU convolutions: measured at the practical
+    roofline on v5e (ROADMAP.md) — a round-2 fused Pallas conv stack tied
+    the forward but its recompute backward lost to XLA's native gradients
+    (70 vs 42 ms fwd+bwd for the stack), so it was removed rather than
+    shipped dark (git history: ops/fused_conv.py)."""
     x = wave[:, None, :]  # (B, 1, T)
     for i, cspec in enumerate(spec.conv_layers):
         gate = None
@@ -361,20 +357,18 @@ def _core_attention(
             dropout_rng=rngs.next() if dropout_active else None,
         ).transpose(0, 2, 1, 3)  # (B, L, H, D)
     elif not has_bias and use_flash_attention():
-        from ..ops.flash_attention import LANES, _ceil_to, flash_attention
-        from ..ops.packed_attention import (
-            MAX_PACKED_KV,
-            MAX_PACKED_WIDTH,
-            packed_attention,
-        )
+        from ..ops.flash_attention import flash_attention
+        from ..ops.packed_attention import packed_attention, packed_num_groups
 
         drop_kw = dict(
             dropout_rate=spec.dropout if dropout_active else 0.0,
             dropout_rng=rngs.next() if dropout_active else None,
         )
-        if _ceil_to(L, LANES) <= MAX_PACKED_KV and H * D <= MAX_PACKED_WIDTH:
+        if packed_num_groups(L, H, D) > 0:
             # packed kernel: no head transposes, one grid cell per
-            # (batch, q-tile) with a static head loop
+            # (batch, head-group, q-tile) with a static head loop; wide
+            # models (Large) and long pads run as 128-lane-aligned head
+            # groups
             out = packed_attention(
                 q, k, v, lengths, num_heads=H, scale=scaling, **drop_kw
             ).reshape(B, L, H, D)

@@ -5,15 +5,23 @@ Second-generation kernel for this workload's regime (L <= ~1024, D = 64):
   * no (B,L,H,D)->(B,H,L,D) transposes — inputs are exactly the QKV
     projection outputs, the output feeds out_proj directly (the transposes
     cost ~10 ms/step of pure HBM traffic at the bench shape);
-  * one grid cell per (batch, q-tile) with a static loop over heads — an
-    order of magnitude fewer kernel launches than the per-head grid;
+  * one grid cell per (batch, head-group, q-tile) with a static loop over
+    the group's heads — an order of magnitude fewer kernel launches than a
+    per-head grid;
   * the whole KV range lives in one VMEM block, so softmax is single-pass
     (no online correction) and the backward kernels recompute (m, l) instead
-    of reading residuals — the forward stores only the output.
+    of reading residuals — the forward stores only the output;
+  * wide models / long pads split the H*D axis into head groups (block
+    width a multiple of 128 lanes), bounding every kernel's scoped VMEM:
+    one group covers the proven (<=768, <=768) regime, two 512-wide groups
+    cover the 1024-wide Large family, two groups also cover padded KV 1024
+    (whose single-group dKV scratch overflowed the 16M scoped-VMEM limit).
 
 Same masking/dropout semantics as ``flash_attention`` (iota length mask,
-counter-hash dropout regenerated in the backward).  Falls back to the tiled
-kernel for sequences too long to hold KV in VMEM.
+counter-hash dropout regenerated in the backward; head ids in the dropout
+hash are global, so grouping does not change the mask).  Falls back to the
+tiled kernel for sequences too long to hold KV in VMEM or head counts that
+cannot split into 128-lane-aligned groups.
 """
 
 from __future__ import annotations
@@ -31,23 +39,52 @@ from .flash_attention import NEG_INF, _ceil_to, _dropout_keep_mask
 
 LANES = 128
 MAX_PACKED_KV = 1024  # beyond this, VMEM pressure favors the tiled kernel
-MAX_PACKED_WIDTH = 768  # H*D cap: the bwd kernels' scoped VMEM overflows at
-# 1024-wide models (Large family, 16.48M > 16M on v5e) — callers fall back
-# to flash_attention above this
+# single-group regime proven on-chip in round 2; larger shapes take the
+# grouped path below
+_SINGLE_GROUP_KV = 768
+_SINGLE_GROUP_WIDTH = 768
+_GROUP_WIDTH_CAP = 512
+
+
+def packed_num_groups(L: int, num_heads: int, head_dim: int) -> int:
+    """Head-group count for a supported shape, or 0 if the packed kernels
+    cannot run it (caller falls back to ``flash_attention``).
+
+    One group when both the padded KV length and the packed width sit in
+    the measured-safe single-group regime; otherwise the smallest head
+    split whose group width is 128-lane aligned and <= 512 — that bounds
+    the dKV kernel's scoped VMEM (2 fp32 accumulators of (Lkv, width))
+    under the 16M v5e limit for every admitted shape.
+    """
+    HD = num_heads * head_dim
+    block_q = min(256, _ceil_to(L, LANES))
+    Lp = _ceil_to(L, block_q)
+    if Lp > MAX_PACKED_KV:
+        return 0
+    if Lp <= _SINGLE_GROUP_KV and HD <= _SINGLE_GROUP_WIDTH:
+        return 1
+    for n_g in range(2, num_heads + 1):
+        if num_heads % n_g:
+            continue
+        gw = (num_heads // n_g) * head_dim
+        if gw % LANES == 0 and gw <= _GROUP_WIDTH_CAP:
+            return n_g
+    return 0
 
 
 def _heads_loop_fwd(
     lengths_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, *,
-    scale, num_heads, head_dim, masked, dropout_rate,
+    scale, heads_per_group, head_dim, masked, dropout_rate,
 ):
     b = pl.program_id(0)
-    q_idx = pl.program_id(1)
-    q_all = q_ref[0]  # (block_q, H*D)
-    k_all = k_ref[0]  # (Lp, H*D)
+    g = pl.program_id(1)
+    q_idx = pl.program_id(2)
+    q_all = q_ref[0]  # (block_q, GW)
+    k_all = k_ref[0]  # (Lp, GW)
     v_all = v_ref[0]
     block_q = q_all.shape[0]
 
-    for h in range(num_heads):
+    for h in range(heads_per_group):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = q_all[:, sl]
         k = k_all[:, sl]
@@ -64,8 +101,8 @@ def _heads_loop_fwd(
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         if dropout_rate > 0.0:
             keep = _dropout_keep_mask(
-                p.shape, 1.0 - dropout_rate, seed_ref[0], b, h,
-                q_idx * block_q, 0,
+                p.shape, 1.0 - dropout_rate, seed_ref[0], b,
+                g * heads_per_group + h, q_idx * block_q, 0,
             )
             p = jnp.where(keep, p, 0.0)
             l_inv = l_inv / (1.0 - dropout_rate)
@@ -78,18 +115,19 @@ def _heads_loop_fwd(
 
 def _heads_loop_bwd_dq(
     lengths_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, di_ref, dq_ref, *,
-    scale, num_heads, head_dim, masked, dropout_rate,
+    scale, heads_per_group, head_dim, masked, dropout_rate,
 ):
     b = pl.program_id(0)
-    q_idx = pl.program_id(1)
+    g = pl.program_id(1)
+    q_idx = pl.program_id(2)
     q_all = q_ref[0]
     k_all = k_ref[0]
     v_all = v_ref[0]
     do_all = do_ref[0]
-    di_all = di_ref[0]  # (block_q, H) padded to (block_q, LANES)
+    di_all = di_ref[0, :, 0]  # (block_q, LANES): this group's heads
     block_q = q_all.shape[0]
 
-    for h in range(num_heads):
+    for h in range(heads_per_group):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = q_all[:, sl]
         k = k_all[:, sl]
@@ -112,8 +150,8 @@ def _heads_loop_bwd_dq(
         )
         if dropout_rate > 0.0:
             keep = _dropout_keep_mask(
-                p.shape, 1.0 - dropout_rate, seed_ref[0], b, h,
-                q_idx * block_q, 0,
+                p.shape, 1.0 - dropout_rate, seed_ref[0], b,
+                g * heads_per_group + h, q_idx * block_q, 0,
             )
             dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
         di = di_all[:, h : h + 1]
@@ -127,10 +165,11 @@ def _heads_loop_bwd_dq(
 def _heads_loop_bwd_dkv(
     lengths_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, di_ref,
     dk_ref, dv_ref, dk_acc, dv_acc, *,
-    scale, num_heads, head_dim, masked, dropout_rate, n_q,
+    scale, heads_per_group, head_dim, masked, dropout_rate, n_q,
 ):
     b = pl.program_id(0)
-    q_idx = pl.program_id(1)
+    g = pl.program_id(1)
+    q_idx = pl.program_id(2)
 
     @pl.when(q_idx == 0)
     def _init():
@@ -141,10 +180,10 @@ def _heads_loop_bwd_dkv(
     k_all = k_ref[0]
     v_all = v_ref[0]
     do_all = do_ref[0]
-    di_all = di_ref[0]
+    di_all = di_ref[0, :, 0]
     block_q = q_all.shape[0]
 
-    for h in range(num_heads):
+    for h in range(heads_per_group):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = q_all[:, sl]
         k = k_all[:, sl]
@@ -167,8 +206,8 @@ def _heads_loop_bwd_dkv(
         )
         if dropout_rate > 0.0:
             keep = _dropout_keep_mask(
-                p.shape, 1.0 - dropout_rate, seed_ref[0], b, h,
-                q_idx * block_q, 0,
+                p.shape, 1.0 - dropout_rate, seed_ref[0], b,
+                g * heads_per_group + h, q_idx * block_q, 0,
             )
             inv_keep = 1.0 / (1.0 - dropout_rate)
             p_used = jnp.where(keep, p * inv_keep, 0.0)
@@ -194,113 +233,121 @@ def _heads_loop_bwd_dkv(
 
 
 def _fwd_call(q, k, v, lengths, seed, scale, num_heads, head_dim, block_q,
-              interpret, dropout_rate):
+              interpret, dropout_rate, num_groups):
     B, Lq, HD = q.shape
     Lkv = k.shape[1]
+    GW = HD // num_groups
     masked = lengths is not None
     if lengths is None:
         lengths = jnp.full((B,), Lkv, jnp.int32)
-    grid = (B, Lq // block_q)
+    grid = (B, num_groups, Lq // block_q)
     return pl.pallas_call(
         functools.partial(
-            _heads_loop_fwd, scale=scale, num_heads=num_heads,
+            _heads_loop_fwd, scale=scale,
+            heads_per_group=num_heads // num_groups,
             head_dim=head_dim, masked=masked, dropout_rate=dropout_rate,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, HD), lambda b, i, *_: (b, i, 0)),
-                pl.BlockSpec((1, Lkv, HD), lambda b, i, *_: (b, 0, 0)),
-                pl.BlockSpec((1, Lkv, HD), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, block_q, GW), lambda b, g, i, *_: (b, i, g)),
+                pl.BlockSpec((1, Lkv, GW), lambda b, g, i, *_: (b, 0, g)),
+                pl.BlockSpec((1, Lkv, GW), lambda b, g, i, *_: (b, 0, g)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, HD), lambda b, i, *_: (b, i, 0)),
+            out_specs=pl.BlockSpec(
+                (1, block_q, GW), lambda b, g, i, *_: (b, i, g)
+            ),
         ),
         out_shape=jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(lengths, seed, q, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _packed(q, k, v, lengths, seed, scale, num_heads, head_dim, block_q,
-            interpret, dropout_rate):
+            interpret, dropout_rate, num_groups):
     return _fwd_call(
         q, k, v, lengths, seed, scale, num_heads, head_dim, block_q,
-        interpret, dropout_rate,
+        interpret, dropout_rate, num_groups,
     )
 
 
 def _packed_fwd(q, k, v, lengths, seed, scale, num_heads, head_dim, block_q,
-                interpret, dropout_rate):
+                interpret, dropout_rate, num_groups):
     out = _fwd_call(
         q, k, v, lengths, seed, scale, num_heads, head_dim, block_q,
-        interpret, dropout_rate,
+        interpret, dropout_rate, num_groups,
     )
     return out, (q, k, v, lengths, seed, out)
 
 
 def _packed_bwd(scale, num_heads, head_dim, block_q, interpret, dropout_rate,
-                res, do):
+                num_groups, res, do):
     q, k, v, lengths, seed, out = res
     B, Lq, HD = q.shape
     Lkv = k.shape[1]
+    GW = HD // num_groups
+    hpg = num_heads // num_groups
     n_q = Lq // block_q
     masked = lengths is not None
     if lengths is None:
         lengths = jnp.full((B,), Lkv, jnp.int32)
-    # di[b, t, h] = sum_d out * dout over the head's slice; pad heads to LANES
+    # di[b, t, h] = sum_d out * dout over the head's slice, laid out per
+    # head group: (B, Lq, num_groups, LANES) so each grid cell reads its
+    # group's heads as a 128-lane block (no dynamic lane slicing in-kernel)
     di = jnp.sum(
         out.astype(jnp.float32).reshape(B, Lq, num_heads, head_dim)
         * do.astype(jnp.float32).reshape(B, Lq, num_heads, head_dim),
         axis=-1,
     )  # (B, Lq, H)
-    di = jnp.pad(di, ((0, 0), (0, 0), (0, LANES - num_heads)))
+    di = di.reshape(B, Lq, num_groups, hpg)
+    di = jnp.pad(di, ((0, 0), (0, 0), (0, 0), (0, LANES - hpg)))
 
     common_specs = [
-        pl.BlockSpec((1, block_q, HD), lambda b, i, *_: (b, i, 0)),
-        pl.BlockSpec((1, Lkv, HD), lambda b, i, *_: (b, 0, 0)),
-        pl.BlockSpec((1, Lkv, HD), lambda b, i, *_: (b, 0, 0)),
-        pl.BlockSpec((1, block_q, HD), lambda b, i, *_: (b, i, 0)),
-        pl.BlockSpec((1, block_q, LANES), lambda b, i, *_: (b, i, 0)),
+        pl.BlockSpec((1, block_q, GW), lambda b, g, i, *_: (b, i, g)),
+        pl.BlockSpec((1, Lkv, GW), lambda b, g, i, *_: (b, 0, g)),
+        pl.BlockSpec((1, Lkv, GW), lambda b, g, i, *_: (b, 0, g)),
+        pl.BlockSpec((1, block_q, GW), lambda b, g, i, *_: (b, i, g)),
+        pl.BlockSpec((1, block_q, 1, LANES), lambda b, g, i, *_: (b, i, g, 0)),
     ]
+    kw = dict(
+        scale=scale, heads_per_group=hpg, head_dim=head_dim, masked=masked,
+        dropout_rate=dropout_rate,
+    )
     dq = pl.pallas_call(
-        functools.partial(
-            _heads_loop_bwd_dq, scale=scale, num_heads=num_heads,
-            head_dim=head_dim, masked=masked, dropout_rate=dropout_rate,
-        ),
+        functools.partial(_heads_loop_bwd_dq, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, n_q),
+            grid=(B, num_groups, n_q),
             in_specs=common_specs,
-            out_specs=pl.BlockSpec((1, block_q, HD), lambda b, i, *_: (b, i, 0)),
+            out_specs=pl.BlockSpec(
+                (1, block_q, GW), lambda b, g, i, *_: (b, i, g)
+            ),
         ),
         out_shape=jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(lengths, seed, q, k, v, do, di)
 
     dk, dv = pl.pallas_call(
-        functools.partial(
-            _heads_loop_bwd_dkv, scale=scale, num_heads=num_heads,
-            head_dim=head_dim, masked=masked, dropout_rate=dropout_rate,
-            n_q=n_q,
-        ),
+        functools.partial(_heads_loop_bwd_dkv, n_q=n_q, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, n_q),
+            grid=(B, num_groups, n_q),
             in_specs=common_specs,
             out_specs=[
-                pl.BlockSpec((1, Lkv, HD), lambda b, i, *_: (b, 0, 0)),
-                pl.BlockSpec((1, Lkv, HD), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, Lkv, GW), lambda b, g, i, *_: (b, 0, g)),
+                pl.BlockSpec((1, Lkv, GW), lambda b, g, i, *_: (b, 0, g)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((Lkv, HD), jnp.float32),
-                pltpu.VMEM((Lkv, HD), jnp.float32),
+                pltpu.VMEM((Lkv, GW), jnp.float32),
+                pltpu.VMEM((Lkv, GW), jnp.float32),
             ],
         ),
         out_shape=[
@@ -308,7 +355,7 @@ def _packed_bwd(scale, num_heads, head_dim, block_q, interpret, dropout_rate,
             jax.ShapeDtypeStruct((B, Lkv, HD), q.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths, seed, q, k, v, do, di)
@@ -334,11 +381,18 @@ def packed_attention(
     """Fused attention on packed (B, L, num_heads*head_dim) tensors.
 
     Returns the same layout.  Requires the (padded) KV length to fit in one
-    VMEM block (L <= MAX_PACKED_KV); callers fall back to
+    VMEM block (L <= MAX_PACKED_KV) and a head count that splits into
+    128-lane-aligned groups (``packed_num_groups``); callers fall back to
     :func:`flash_attention` otherwise.
     """
     B, L, HD = q.shape
     head_dim = HD // num_heads
+    num_groups = packed_num_groups(L, num_heads, head_dim)
+    if num_groups == 0:
+        raise ValueError(
+            f"packed_attention unsupported for L={L}, num_heads={num_heads}, "
+            f"head_dim={head_dim}; use flash_attention"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if scale is None:
@@ -364,7 +418,7 @@ def packed_attention(
         lengths = lengths.astype(jnp.int32)
     out = _packed(
         q, k, v, lengths, seed, float(scale), num_heads, head_dim, block_q,
-        interpret, float(dropout_rate),
+        interpret, float(dropout_rate), num_groups,
     )
     if Lp != L:
         out = out[:, :L, :]

@@ -147,7 +147,13 @@ def _distill_forward(
     """Shared forward for train/eval: returns (loss, metrics)."""
     waveforms, lengths = batch
     dtype = jnp.dtype(cfg.compute_dtype)
-    wave = waveforms.astype(dtype)
+    if waveforms.dtype == jnp.int16:
+        # int16 PCM feed (loader feed_dtype="int16"): rescale on device —
+        # exactly the float32 the decoder would have produced, at half the
+        # host->device feed bytes
+        wave = (waveforms.astype(jnp.float32) / 32768.0).astype(dtype)
+    else:
+        wave = waveforms.astype(dtype)
     distill_layers = flatten_groups(cfg.distill_layer_groups)
 
     teacher_hiddens, _ = teacher.extract_features(

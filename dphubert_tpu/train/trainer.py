@@ -276,14 +276,16 @@ def train(
             save_train_state(exp_dir / "ckpts" / "last.npz", state,
                              epoch=epoch, batch_in_epoch=batch_in_epoch)
 
+    def _to_device(wave):
+        if bsh is not None:
+            gshape = (wave.shape[0] * jax.process_count(),) + wave.shape[1:]
+            return global_batch_from_local(bsh, wave, gshape)
+        return jax.device_put(wave)
+
     while not done:
-        for wave, lengths in _epoch_iter(loader, epoch, skip):
-            audio_sec = (
-                wave.shape[0] * jax.process_count() * wave.shape[1] / 16000
-            )
-            if bsh is not None:
-                gshape = (wave.shape[0] * jax.process_count(),) + wave.shape[1:]
-                wave = global_batch_from_local(bsh, wave, gshape)
+        for wave, lengths, audio_sec in _device_prefetch(
+            _epoch_iter(loader, epoch, skip), _to_device
+        ):
             state, metrics = step_fn(state, teacher_params, (wave, lengths))
             step += 1
             batch_in_epoch += 1
@@ -313,6 +315,26 @@ def train(
     if prev_handler is not None:
         signal.signal(signal.SIGTERM, prev_handler)
     return state
+
+
+def _device_prefetch(it, to_device):
+    """Run one batch ahead: issue the (async) host->device transfer of
+    batch N+1 while the device computes step N, hiding the feed latency.
+    On a remote accelerator link the un-overlapped transfer is the
+    dominant per-step cost (measured ~2x step time through the relay
+    tunnel); on a local PCIe host this is simply free pipelining.
+    Yields (device_wave, lengths, local_audio_seconds)."""
+    prev = None
+    for wave, lengths in it:
+        audio_sec = (
+            wave.shape[0] * jax.process_count() * wave.shape[1] / 16000
+        )
+        cur = (to_device(wave), lengths, audio_sec)
+        if prev is not None:
+            yield prev
+        prev = cur
+    if prev is not None:
+        yield prev
 
 
 def _epoch_iter(loader, epoch: int, skip: int):

@@ -123,3 +123,42 @@ def test_packed_backward_lengths_and_dropout_determinism():
                          dropout_rate=0.3, dropout_rng=key, interpret=True) ** 2
     ))(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("B,H,L,D", [
+    (2, 16, 256, 64),   # 1024-wide (Large family): 2 x 512-lane head groups
+    (2, 4, 800, 64),    # padded KV 1024: grouped to bound dKV scratch VMEM
+])
+def test_packed_grouped_forward_backward(B, H, L, D):
+    """Head-grouped packed kernels (packed_num_groups > 1) must match the
+    dense reference in both forward and gradients."""
+    from dphubert_tpu.ops.packed_attention import packed_num_groups
+
+    assert packed_num_groups(L, H, D) > 1
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    lengths = jnp.asarray([L, L - 57][:B], jnp.int32)
+
+    # compare valid query rows only (rows past ``lengths`` attend to the
+    # valid keys in both implementations, but training never reads them)
+    row_mask = (jnp.arange(L)[None, None, :, None]
+                < lengths[:, None, None, None])
+
+    def f_packed(q, k, v):
+        out = _unpack(
+            packed_attention(_pack(q), _pack(k), _pack(v), lengths,
+                             num_heads=H, interpret=True), H)
+        return jnp.sum(jnp.where(row_mask, out, 0.0) ** 2)
+
+    def f_dense(q, k, v):
+        out = dense_reference(q, k, v, lengths)
+        return jnp.sum(jnp.where(row_mask, out, 0.0) ** 2)
+
+    v1, g1 = jax.value_and_grad(f_packed, argnums=(0, 1, 2))(q, k, v)
+    v2, g2 = jax.value_and_grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-3)

@@ -41,6 +41,7 @@ final_max_updates=${FINAL_MAX_UPDATES:-25000}
 root_dir=${EXP_DIR:-exp/hubert-base_sp${target_sparsity}}
 mkdir -p "$root_dir"
 
+echo "[run.sh] $(date -Is) stage 1 (distill) start"
 # ---- stage 1: joint distillation + structured pruning ----
 python -m dphubert_tpu.cli.distill \
   --tsv_dir "$tsv_dir" --train_subset "$train_subset" \
@@ -59,11 +60,13 @@ python -m dphubert_tpu.cli.distill \
   --log_interval "$log_interval" --ckpt_interval "$ckpt_interval" \
   --precision bf16 2>&1 | tee "$root_dir/stage1.log" || exit 1
 
+echo "[run.sh] $(date -Is) stage 1.5 (prune) start"
 # ---- stage 1.5: mask surgery ----
 python -m dphubert_tpu.cli.prune \
   --distilled_ckpt "$root_dir/stage1/ckpts/distilled.pth" \
   --original_ckpt "$teacher_ckpt"
 
+echo "[run.sh] $(date -Is) stage 2 (final_distill) start"
 # ---- stage 2: final distillation of the pruned student ----
 python -m dphubert_tpu.cli.final_distill \
   --tsv_dir "$tsv_dir" --train_subset "$train_subset" \
@@ -81,6 +84,7 @@ python -m dphubert_tpu.cli.final_distill \
   --log_interval "$log_interval" --ckpt_interval "$ckpt_interval" \
   --precision bf16 2>&1 | tee "$root_dir/stage2.log"
 
+echo "[run.sh] $(date -Is) stage 3 (save_final_ckpt) start"
 # ---- stage 3: merge + export the portable checkpoint ----
 python -m dphubert_tpu.cli.save_final_ckpt \
   --config_path "$root_dir/stage1/ckpts/pruned_hubert_base.pth" \
@@ -88,4 +92,5 @@ python -m dphubert_tpu.cli.save_final_ckpt \
   --out "$root_dir/dphubert.pth"
 
 python -m dphubert_tpu.cli.load_dpmodel "$root_dir/dphubert.pth"
+echo "[run.sh] $(date -Is) done"
 echo "Done: $root_dir/dphubert.pth"

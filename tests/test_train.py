@@ -350,3 +350,88 @@ def test_unstacked_loss_matches_stacked(mode, cos_type):
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_distill_step_gradients_match_reference(reference_module):
+    """End-to-end gradient parity: d(distill loss)/d(student params) computed
+    by this framework equals torch autograd through the reference model
+    (eval-mode numerics, shared projection weights, fixed teacher targets).
+    Forward parity (test_forward_parity) + loss parity
+    (test_distill_loss_matches_reference_formula) + this closes the loop on
+    the training dynamics (reference lightning.py:116-139,224-263)."""
+    import torch
+
+    from dphubert_tpu.params import flatten_params, tree_to_jax, unflatten_params
+    from dphubert_tpu.train.losses import distill_loss_unstacked
+
+    from tests.test_forward_parity import _load_ref_into_ours
+
+    torch.manual_seed(0)
+    cfg = _tiny_w2v2_config()
+    ref = reference_module.wav2vec2_model(**cfg)
+    ours = wav2vec2_model(**cfg)
+    params = _load_ref_into_ours(ref)
+
+    rng = np.random.default_rng(3)
+    wave = rng.standard_normal((2, 3200)).astype(np.float32)
+    groups = ((0,), (1, 3))
+    flat_layers = (0, 1, 3)
+    ds = cfg["encoder_embed_dim"]
+    dt = 48
+    W = rng.standard_normal((len(groups), dt, ds)).astype(np.float32) * 0.1
+    bias = rng.standard_normal((len(groups), dt)).astype(np.float32) * 0.1
+    # teacher targets, one per selected layer, at the projection width
+    probe, _ = ours.extract_features(params, wave)
+    B_, frames_, _ = np.asarray(probe[0]).shape
+    targets = [rng.standard_normal((B_, frames_, dt)).astype(np.float32)
+               for _ in flat_layers]
+
+    # ---- torch side ----
+    ref.train(False)  # deterministic: dropout off, same numerics as ours
+    hiddens_t = ref.extract_features(torch.from_numpy(wave))[0]
+    Wt = [torch.from_numpy(W[g]) for g in range(len(groups))]
+    bt = [torch.from_numpy(bias[g]) for g in range(len(groups))]
+    losses = []
+    slot = 0
+    for gi, g in enumerate(groups):
+        for layer in g:
+            s = hiddens_t[layer] @ Wt[gi].T + bt[gi]
+            t = torch.from_numpy(targets[slot])
+            cos = torch.nn.functional.cosine_similarity(s, t, dim=-1)
+            losses.append(torch.mean(torch.abs(s - t)) - torch.mean(cos))
+            slot += 1
+    loss_t = sum(losses) / len(losses)
+    loss_t.backward()
+    ref_grads = {
+        k: p.grad.detach().numpy().copy()
+        for k, p in ref.named_parameters() if p.grad is not None
+    }
+
+    # ---- jax side ----
+    proj_params = {"groups": {str(g): {"weight": jnp.asarray(W[g]),
+                                       "bias": jnp.asarray(bias[g])}
+                              for g in range(len(groups))}}
+    teacher_hiddens = [jnp.asarray(t) for t in targets]
+
+    def loss_fn(p, projs):
+        hiddens, _ = ours.extract_features(p, wave, training=False)
+        total, _ = distill_loss_unstacked(
+            projs, "layer2layer", groups, hiddens, teacher_hiddens,
+            tuple(range(len(flat_layers))),
+            l2_weight=0.0, l1_weight=1.0, cos_weight=1.0, cos_type="raw",
+        )
+        return total
+
+    loss_j, grads_j = jax.value_and_grad(loss_fn)(params, proj_params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=2e-5)
+
+    flat_j = flatten_params(jax.tree.map(np.asarray, grads_j))
+    # every torch grad must exist and agree (torch omits never-used params)
+    assert set(ref_grads) <= set(flat_j)
+    checked = 0
+    for k, rg in ref_grads.items():
+        og = flat_j[k]
+        assert og.shape == rg.shape, k
+        np.testing.assert_allclose(og, rg, atol=2e-5, rtol=2e-4, err_msg=k)
+        checked += 1
+    assert checked > 20  # conv stack + attention + FFN + norms all covered

@@ -166,3 +166,19 @@ def test_extract_features_num_layers():
     assert len(partial) == 3 and len(full) == 4
     for a, b in zip(partial, full):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_persistent_cache_config(tmp_path, monkeypatch):
+    """enable_persistent_cache points jax at the directory (creating it) and
+    respects the DPHUBERT_COMPILE_CACHE=off escape hatch."""
+    import jax
+
+    from dphubert_tpu.utils.compilation_cache import enable_persistent_cache
+
+    target = tmp_path / "xla_cache"
+    got = enable_persistent_cache(str(target))
+    assert got == str(target) and target.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(target)
+
+    monkeypatch.setenv("DPHUBERT_COMPILE_CACHE", "off")
+    assert enable_persistent_cache() is None

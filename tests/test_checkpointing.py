@@ -106,9 +106,10 @@ def test_trainer_orbax_preempt_resume_exact(tmp_path):
     s_half = train(cfg=dcfg, exp_dir=tmp_path / "b", ckpt_interval=100,
                    ckpt_backend="orbax", ckpt_keep=2,
                    loader=ConstLoader(10, sigterm_after=2), **base)
-    # the signal lands when the loader is asked for the NEXT batch, so the
-    # trainer notices it after completing step 3
-    assert int(s_half.step) == 3
+    # the signal lands while the device-prefetch generator pulls batch 3
+    # (during step 2's compute), so the trainer notices it right after
+    # completing step 2
+    assert int(s_half.step) == 2
 
     s_res = train(cfg=dcfg, exp_dir=tmp_path / "c", ckpt_interval=100,
                   resume=str(tmp_path / "b" / "ckpts" / "orbax"),

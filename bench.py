@@ -33,6 +33,9 @@ def main():
     from dphubert_tpu.utils.compilation_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    rng_impl = os.environ.get("DPHUBERT_RNG_IMPL")
+    if rng_impl:  # e.g. "rbg": TPU hardware generator for dropout masks
+        jax.config.update("jax_default_prng_impl", rng_impl)
 
     from dphubert_tpu import hubert_base, wav2vec2_large, wav2vec2_model, wavlm_base
     from dphubert_tpu.train.distill_module import (

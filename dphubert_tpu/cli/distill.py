@@ -71,6 +71,12 @@ def add_common_training_args(parser: ArgumentParser) -> None:
     parser.add_argument("--cos_weight", default=1.0, type=float)
     parser.add_argument("--cos_type", default="raw", choices=["raw", "log_sig"])
     parser.add_argument("--seed", default=2022, type=int)
+    parser.add_argument("--rng_impl", default="threefry2x32",
+                        choices=["threefry2x32", "rbg"],
+                        help="PRNG implementation for dropout/gate sampling. "
+                        "rbg uses the TPU hardware generator (faster mask "
+                        "generation; same explicit-key determinism within an "
+                        "impl; checkpoints are not resumable across impls).")
     parser.add_argument("--compile_cache_dir", default=None,
                         help="Persistent XLA compilation cache directory "
                         "(default ~/.cache/dphubert_tpu/xla; env "
@@ -93,6 +99,8 @@ def run_train(args, use_reg: bool = True):
     from ..utils.compilation_cache import enable_persistent_cache
 
     enable_persistent_cache(getattr(args, "compile_cache_dir", None))
+    if getattr(args, "rng_impl", "threefry2x32") != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
     teacher, teacher_params, _ = load_model_ckpt(args.teacher_ckpt)
 
     _, _, student_ckpt = load_model_ckpt(args.student_ckpt)

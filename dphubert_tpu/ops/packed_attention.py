@@ -123,7 +123,7 @@ def _heads_loop_bwd_dq(
     k_all = k_ref[0]
     v_all = v_ref[0]
     do_all = do_ref[0]
-    di_all = di_ref[0, :, 0]  # (block_q, LANES): this group's heads
+    di_all = di_ref[0]  # (block_q, LANES): this group's heads
     block_q = q_all.shape[0]
 
     for h in range(heads_per_group):
@@ -179,7 +179,7 @@ def _heads_loop_bwd_dkv(
     k_all = k_ref[0]
     v_all = v_ref[0]
     do_all = do_ref[0]
-    di_all = di_ref[0, :, 0]
+    di_all = di_ref[0]
     block_q = q_all.shape[0]
 
     for h in range(heads_per_group):
@@ -296,8 +296,9 @@ def _packed_bwd(scale, num_heads, head_dim, block_q, interpret, dropout_rate,
     if lengths is None:
         lengths = jnp.full((B,), Lkv, jnp.int32)
     # di[b, t, h] = sum_d out * dout over the head's slice, laid out per
-    # head group: (B, Lq, num_groups, LANES) so each grid cell reads its
-    # group's heads as a 128-lane block (no dynamic lane slicing in-kernel)
+    # head group along the lane axis: (B, Lq, num_groups*LANES) so each grid
+    # cell reads its group's heads as one 128-lane-aligned block (no dynamic
+    # lane slicing in-kernel, block dims stay (block_q, 128))
     di = jnp.sum(
         out.astype(jnp.float32).reshape(B, Lq, num_heads, head_dim)
         * do.astype(jnp.float32).reshape(B, Lq, num_heads, head_dim),
@@ -305,13 +306,14 @@ def _packed_bwd(scale, num_heads, head_dim, block_q, interpret, dropout_rate,
     )  # (B, Lq, H)
     di = di.reshape(B, Lq, num_groups, hpg)
     di = jnp.pad(di, ((0, 0), (0, 0), (0, 0), (0, LANES - hpg)))
+    di = di.reshape(B, Lq, num_groups * LANES)
 
     common_specs = [
         pl.BlockSpec((1, block_q, GW), lambda b, g, i, *_: (b, i, g)),
         pl.BlockSpec((1, Lkv, GW), lambda b, g, i, *_: (b, 0, g)),
         pl.BlockSpec((1, Lkv, GW), lambda b, g, i, *_: (b, 0, g)),
         pl.BlockSpec((1, block_q, GW), lambda b, g, i, *_: (b, i, g)),
-        pl.BlockSpec((1, block_q, 1, LANES), lambda b, g, i, *_: (b, i, g, 0)),
+        pl.BlockSpec((1, block_q, LANES), lambda b, g, i, *_: (b, i, g)),
     ]
     kw = dict(
         scale=scale, heads_per_group=hpg, head_dim=head_dim, masked=masked,

@@ -20,6 +20,9 @@ import argparse
 import json
 import pathlib
 import re
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def downsample_metrics(src: pathlib.Path, dst: pathlib.Path, every: int = 10):

@@ -73,3 +73,14 @@ def build_loader(args, subset: str, num_replicas: int = 1,
         # dominates step time when the chip is behind a tunnel)
         feed_dtype="int16",
     )
+
+
+def force_cpu_for_host_stage():
+    """Surgery/export stages are host-side numpy+small-jax work: never claim
+    an accelerator for them (on a shared remote-attached chip a claim cycle
+    costs minutes).  No-op if a backend is already live (e.g. under pytest,
+    whose conftest pins CPU first)."""
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass

@@ -6,11 +6,13 @@ import sys
 
 import numpy as np
 
+from .common import force_cpu_for_host_stage
 from ..interop.torch_ckpt import load_model
 from ..params import num_leaves_numel
 
 
 def cli_main():
+    force_cpu_for_host_stage()
     path = sys.argv[1] if len(sys.argv) > 1 else "pruned_hubert_base.pth"
     model, params = load_model(path)
     n = num_leaves_numel(params)

@@ -14,6 +14,7 @@ from argparse import ArgumentParser
 import jax
 import numpy as np
 
+from .common import force_cpu_for_host_stage
 from ..interop.torch_ckpt import load_checkpoint, save_checkpoint, verify_strict
 from ..models.model import wav2vec2_model
 from ..params import flatten_params, tree_to_jax, unflatten_params
@@ -94,6 +95,7 @@ def parse_args():
 
 
 def cli_main():
+    force_cpu_for_host_stage()
     args = parse_args()
     out_path = args.out or (args.distilled_ckpt.parent / "pruned_hubert_base.pth")
     ret = prune_from_ckpt(args.distilled_ckpt, args.original_ckpt)

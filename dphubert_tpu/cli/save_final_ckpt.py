@@ -7,6 +7,7 @@ import json
 import pathlib
 from argparse import ArgumentParser
 
+from .common import force_cpu_for_host_stage
 from ..interop.torch_ckpt import load_checkpoint, save_checkpoint
 from .prune import load_pruned_model
 
@@ -25,6 +26,7 @@ def parse_args():
 
 
 def cli_main():
+    force_cpu_for_host_stage()
     args = parse_args()
     config = load_checkpoint(args.config_path)["config"]
     print(json.dumps(config, indent=4))

@@ -22,6 +22,7 @@ can inject deterministic compiled masks.
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Optional
 
 import jax
@@ -52,11 +53,44 @@ class RngStream:
         return sub
 
 
-def _dropout(x, rate: float, training: bool, rngs: Optional[RngStream]):
+def _hash_keep_mask(key: jax.Array, keep: float, shape) -> jax.Array:
+    """Counter-hash keep mask: murmur3-finalizer hash of (key words, flat
+    element index), thresholded at ``keep``.
+
+    Same construction as the in-kernel attention dropout
+    (``ops/flash_attention.py:_dropout_keep_mask``) — a handful of uint32
+    multiply/xor/shift ops that XLA fuses straight into the consuming
+    elementwise graph, instead of a threefry2x32 subcomputation per mask.
+    The activation-dropout masks of a distill step total ~0.7e9 draws
+    (12 layers x up to (B, L, 3072)), which makes the generator cost a
+    measurable slice of the bandwidth-bound "loop fusion" budget.
+    """
+    words = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    seed = words[0]
+    for i in range(1, words.shape[0]):  # static: 2 (threefry) or 4 (rbg)
+        seed = seed * jnp.uint32(0x9E3779B1) ^ words[i]
+    n = int(np.prod(shape)) if shape else 1
+    x = jnp.arange(n, dtype=jnp.uint32).reshape(shape)
+    x = x * jnp.uint32(0x27D4EB2F) ^ seed
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x <= jnp.uint32(min(keep, 1.0) * 4294967295.0)
+
+
+def _dropout(x, rate: float, training: bool, rngs: Optional[RngStream],
+             impl: Optional[str] = None):
     if not training or rate <= 0.0 or rngs is None:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rngs.next(), keep, x.shape)
+    if impl is None:
+        impl = os.environ.get("DPHUBERT_DROPOUT_IMPL", "threefry")
+    if impl == "hash":
+        mask = _hash_keep_mask(rngs.next(), keep, x.shape)
+    else:
+        mask = jax.random.bernoulli(rngs.next(), keep, x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 

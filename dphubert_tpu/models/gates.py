@@ -98,10 +98,29 @@ def sample_gates(spec: ModelSpec, params, key) -> Optional[dict]:
 
 
 def compile_gates(spec: ModelSpec, params) -> Optional[dict]:
-    """Deterministic eval-mode masks (host-side numpy top-k compile)."""
+    """Deterministic eval-mode masks (host-side numpy top-k compile).
+
+    Only the HardConcrete ``log_alpha`` leaves are materialized to host —
+    on a remote-attached chip a blanket ``np.asarray`` over the whole
+    94M-param student would gather ~380 MB through the link every call
+    (the trainer calls this once per epoch for validation)."""
     if not has_gates(spec):
         return None
-    p = jax.tree.map(np.asarray, params)
+
+    class _Lazy:
+        """Per-leaf host fetch: dict indexing stays device-side until a
+        log_alpha leaf is pulled."""
+
+        def __init__(self, node):
+            self._node = node
+
+        def __getitem__(self, k):
+            child = self._node[k]
+            if isinstance(child, dict):
+                return _Lazy(child)
+            return np.asarray(child)
+
+    p = _Lazy(params)
     gates: dict = {}
     conv = {}
     for i, c in enumerate(spec.conv_layers):

@@ -354,7 +354,10 @@ def _epoch_iter(loader, epoch: int, skip: int):
 def _run_validation(eval_fn, state, teacher_params, student, valid_loader, bsh, step):
     gates = None
     if has_gates(student.spec):
-        gates = compile_gates(student.spec, jax.tree.map(np.asarray, state.params["student"]))
+        # compile_gates fetches only the log_alpha leaves to host (a blanket
+        # np.asarray of the student would gather ~380 MB per epoch through a
+        # remote accelerator link)
+        gates = compile_gates(student.spec, state.params["student"])
         gates = jax.tree.map(jnp.asarray, gates)
     losses = []
     for wave, lengths in valid_loader.epoch(0):

@@ -177,3 +177,29 @@ def test_surgery_roundtrip_strict_reload(reference_module):
     assert set(expect.keys()) == set(got.keys())
     for k in expect:
         assert expect[k].shape == np.asarray(got[k]).shape, k
+
+
+def test_compile_gates_lazy_matches_eager():
+    """compile_gates only materializes log_alpha leaves to host (lazy per-leaf
+    fetch, gates.py:100-123); the result must be identical whether the params
+    pytree holds device jax.Arrays or host numpy arrays."""
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from dphubert_tpu.models.gates import compile_gates, has_gates
+
+    cfg = _tiny_w2v2_config(**PRUNE_FLAGS)
+    model = wav2vec2_model(**cfg)
+    params = model.init(jax.random.key(7))
+    assert has_gates(model.spec)
+
+    dev = jax.tree.map(jnp.asarray, params)
+    host = jax.tree.map(np.asarray, params)
+    g_dev = compile_gates(model.spec, dev)
+    g_host = compile_gates(model.spec, host)
+
+    ld, lh = jtu.tree_leaves(g_dev), jtu.tree_leaves(g_host)
+    assert len(ld) == len(lh) > 0
+    for a, b in zip(ld, lh):
+        assert isinstance(a, np.ndarray)  # host-side numpy compile
+        np.testing.assert_array_equal(a, b)

@@ -55,6 +55,12 @@ def add_common_training_args(parser: ArgumentParser) -> None:
     parser.add_argument("--tensor_parallel", default=1, type=int,
                         help="Mesh model-axis size: attention/FFN inner dims "
                         "sharded over it (Megatron-style row/column split).")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3-style layouts: shard params, Adam "
+                        "moments, and the frozen teacher over the data axis "
+                        "(per-device memory ~1/n_data; XLA inserts the "
+                        "all-gathers/reduce-scatters). Composes with "
+                        "--tensor_parallel (HSDP).")
     parser.add_argument("--accum_grad", default=1, type=int)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"],
                         help="Compute dtype (TPU default bf16; params fp32).")
@@ -172,6 +178,7 @@ def run_train(args, use_reg: bool = True):
         seed=args.seed,
         proj_state_dict=proj_sd,
         tensor_parallel=n_model > 1,
+        fsdp=args.fsdp,
     )
     out = pathlib.Path(args.exp_dir) / "ckpts" / "distilled.pth"
     export_student_checkpoint(state, student, cfg, out)

@@ -1,3 +1,4 @@
+from .fsdp import fsdp_shardings, place_fsdp, place_train_params_fsdp
 from .mesh import batch_sharding, create_mesh, replicate, replicated, shard_batch
 
 __all__ = [
@@ -6,4 +7,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "replicate",
+    "fsdp_shardings",
+    "place_fsdp",
+    "place_train_params_fsdp",
 ]

@@ -157,6 +157,7 @@ def train(
     seed: int = 2022,
     proj_state_dict=None,
     tensor_parallel: bool = False,
+    fsdp: bool = False,
 ) -> TrainState:
     """Run stage-1 (use_reg) or stage-2 (final distill) training to
     ``cfg.max_updates``; returns the final state."""
@@ -189,14 +190,28 @@ def train(
     # leaves onto this template's shardings, so TP/replicated layouts (and
     # the restored Adam moments) survive.
     if mesh is not None:
-        teacher_params = replicate(mesh, teacher_params)
-        if tensor_parallel and mesh.shape.get("model", 1) > 1:
+        if fsdp:
+            # ZeRO-3-style layouts: params, Adam moments, and the frozen
+            # teacher all sharded over the data axis (parallel/fsdp.py);
+            # composes with the TP model-axis split (HSDP)
+            from ..parallel.fsdp import place_fsdp, place_train_params_fsdp
+
+            teacher_params = place_fsdp(mesh, teacher_params)
+            params = place_train_params_fsdp(
+                student.spec, mesh, state.params,
+                tensor_parallel=tensor_parallel,
+            )
+            # re-init optimizer state so Adam moments inherit the layouts
+            state = state._replace(params=params, opt_state=tx.init(params))
+        elif tensor_parallel and mesh.shape.get("model", 1) > 1:
             from ..parallel.sharding import place_train_params
 
+            teacher_params = replicate(mesh, teacher_params)
             params = place_train_params(student.spec, mesh, state.params)
             # re-init optimizer state so Adam moments inherit the TP layouts
             state = state._replace(params=params, opt_state=tx.init(params))
         else:
+            teacher_params = replicate(mesh, teacher_params)
             state = state._replace(params=replicate(mesh, state.params))
         bsh = batch_sharding(mesh)
     else:

@@ -91,3 +91,118 @@ def test_train_step_tensor_parallel_mesh():
     # updated params keep the TP layout (Adam moments followed it)
     qw2 = state.params["student"]["encoder"]["transformer"]["layers"]["0"]["attention"]["q_proj"]["weight"]
     assert {s.data.shape for s in qw2.addressable_shards} == shapes
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_train_step_fsdp_mesh():
+    """ZeRO-3-style layouts (parallel/fsdp.py): params + Adam moments +
+    frozen teacher sharded over the data axis; the jitted step's loss must
+    match the replicated DP run and the updated params must keep the
+    sharded layout (XLA reduce-scatters behind the update)."""
+    from dphubert_tpu.parallel.fsdp import place_fsdp, place_train_params_fsdp
+
+    mesh = create_mesh(n_data=8)
+    teacher = wav2vec2_model(**_tiny_w2v2_config())
+    student = wav2vec2_model(**_tiny_w2v2_config(**PRUNE_FLAGS))
+    teacher_params = teacher.init(jax.random.key(0))
+    dcfg = DistillConfig(
+        distill_layer_groups=((0,), (1, 3)),
+        warmup_updates=2, max_updates=10,
+        sparsity_warmup_updates=2, target_sparsity=0.5,
+    )
+
+    def one_step(placed_tp, place_state):
+        state, tx = init_train_state(
+            student=student, student_params=student.init(jax.random.key(1)),
+            cfg=dcfg, teacher_embed_dim=64, rng=jax.random.key(2),
+        )
+        params = place_state(state.params, tx)
+        state = state._replace(params=params, opt_state=tx.init(params))
+        fn = make_train_step(teacher, student, dcfg, tx, donate=False)
+        wave = np.random.default_rng(0).standard_normal((16, 4000)).astype(np.float32)
+        wave = jax.device_put(wave, batch_sharding(mesh))
+        return fn(state, placed_tp, (wave, None))
+
+    # min_size=1024 so the tiny test model actually shards something
+    state_f, m_f = one_step(
+        place_fsdp(mesh, teacher_params, min_size=1024),
+        lambda p, tx: place_train_params_fsdp(
+            student.spec, mesh, p, min_size=1024),
+    )
+    state_r, m_r = one_step(
+        replicate(mesh, teacher_params),
+        lambda p, tx: replicate(mesh, p),
+    )
+    assert np.isfinite(float(m_f["loss"]))
+    np.testing.assert_allclose(
+        float(m_f["loss"]), float(m_r["loss"]), rtol=1e-5
+    )
+
+    # something large is genuinely sharded, before AND after the update
+    def sharded_leaves(tree):
+        return [
+            x for x in jax.tree.leaves(tree)
+            if any(s is not None for s in getattr(x.sharding, "spec", ()))
+        ]
+
+    assert sharded_leaves(state_f.params["student"])
+    for leaf in sharded_leaves(state_f.params["student"]):
+        n_shards = len({s.index for s in leaf.addressable_shards})
+        assert n_shards == 8, leaf.shape
+    # Adam moments followed the param layouts
+    assert sharded_leaves(state_f.opt_state)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_train_step_hsdp_mesh():
+    """Hybrid (data=4 FSDP) x (model=2 TP): TP dims keep the model axis and
+    the data axis lands on a remaining free dim of the same leaf."""
+    from dphubert_tpu.parallel.fsdp import place_fsdp, place_train_params_fsdp
+
+    mesh = create_mesh(n_data=4, n_model=2)
+    teacher = wav2vec2_model(**_tiny_w2v2_config())
+    student = wav2vec2_model(**_tiny_w2v2_config(**PRUNE_FLAGS))
+    tp = place_fsdp(mesh, teacher.init(jax.random.key(0)), min_size=1024)
+    dcfg = DistillConfig(
+        distill_layer_groups=((0,), (1, 3)),
+        warmup_updates=2, max_updates=10,
+        sparsity_warmup_updates=2, target_sparsity=0.5,
+    )
+    state, tx = init_train_state(
+        student=student, student_params=student.init(jax.random.key(1)),
+        cfg=dcfg, teacher_embed_dim=64, rng=jax.random.key(2),
+    )
+    params = place_train_params_fsdp(
+        student.spec, mesh, state.params, tensor_parallel=True, min_size=1024
+    )
+    qw = params["student"]["encoder"]["transformer"]["layers"]["0"]["attention"]["q_proj"]["weight"]
+    spec = tuple(qw.sharding.spec)
+    assert "model" in spec and "data" in spec, spec
+
+    state = state._replace(params=params, opt_state=tx.init(params))
+    fn = make_train_step(teacher, student, dcfg, tx, donate=False)
+    wave = np.random.default_rng(0).standard_normal((8, 4000)).astype(np.float32)
+    wave = jax.device_put(wave, batch_sharding(mesh))
+    state, m = fn(state, tp, (wave, None))
+    assert np.isfinite(float(m["loss"]))
+    qw2 = state.params["student"]["encoder"]["transformer"]["layers"]["0"]["attention"]["q_proj"]["weight"]
+    assert tuple(qw2.sharding.spec) == spec
+
+
+def test_fsdp_spec_rule():
+    """Layout rule unit: largest free divisible dim gets the data axis;
+    small leaves replicate; dims taken by the base (TP) spec are skipped."""
+    from jax.sharding import PartitionSpec as P
+
+    from dphubert_tpu.parallel.fsdp import fsdp_spec
+
+    assert fsdp_spec((768, 768), 8, min_size=1024) == P("data", None)
+    assert fsdp_spec((512, 256, 3), 8, min_size=1024) == P("data", None, None)
+    # too small -> replicate
+    assert fsdp_spec((768,), 8, min_size=1024) == P()
+    # largest dim not divisible -> falls to next divisible dim
+    assert fsdp_spec((1023, 512), 8, min_size=1024) == P(None, "data")
+    # base (TP) owns dim 0 -> data lands on dim 1
+    assert fsdp_spec((768, 768), 8, base=P("model"), min_size=1024) == P("model", "data")
+    # nothing free/divisible -> base kept as-is
+    assert fsdp_spec((768, 1023), 8, base=P("model"), min_size=1024) == P("model", None)

@@ -131,7 +131,15 @@ def load_train_state(path, template: TrainState) -> TrainState:
             # mesh): keep the restored value uncommitted so jit is free to
             # place it next to the global arrays
             return leaf
-        return jax.device_put(leaf, t.sharding)
+        from jax.sharding import NamedSharding
+
+        if isinstance(t.sharding, NamedSharding):
+            return jax.device_put(leaf, t.sharding)
+        # template leaf never went through mesh placement (e.g. optimizer
+        # counters created eagerly on the default device): keep it
+        # uncommitted — committing it to one device while params span the
+        # mesh makes jit reject the mixed placement
+        return leaf
 
     placed = [_place(leaf, t) for leaf, t in zip(leaves, tmpl_flat)]
     state = jax.tree_util.tree_unflatten(treedef, placed)
@@ -158,6 +166,7 @@ def train(
     proj_state_dict=None,
     tensor_parallel: bool = False,
     fsdp: bool = False,
+    stop_at_step: Optional[int] = None,
 ) -> TrainState:
     """Run stage-1 (use_reg) or stage-2 (final distill) training to
     ``cfg.max_updates``; returns the final state."""
@@ -308,7 +317,9 @@ def train(
             logger.log(step, metrics, audio_seconds=audio_sec)
             if step % ckpt_interval == 0:
                 _checkpoint()
-            if stop_requested["flag"]:
+            # ``stop_at_step`` injects a preemption at an exact step (test
+            # hook for resume-fidelity: same checkpoint-and-exit path)
+            if stop_requested["flag"] or step == stop_at_step:
                 _checkpoint()
                 print(f"[train] SIGTERM: checkpointed at step {step}, exiting")
                 done = True

@@ -206,3 +206,53 @@ def test_fsdp_spec_rule():
     assert fsdp_spec((768, 768), 8, base=P("model"), min_size=1024) == P("model", "data")
     # nothing free/divisible -> base kept as-is
     assert fsdp_spec((768, 1023), 8, base=P("model"), min_size=1024) == P("model", None)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fsdp_trainer_resume_exact(tmp_path):
+    """trainer.train(fsdp=True): checkpoints round-trip through npz and
+    load_train_state re-places leaves onto the FSDP layouts; a 2+2-step
+    resumed run must equal the uninterrupted 4-step run bitwise."""
+    from dphubert_tpu.train.trainer import train
+
+    mesh = create_mesh(n_data=8)
+    cfg = _tiny_w2v2_config()
+    teacher = wav2vec2_model(**cfg)
+    student = wav2vec2_model(**cfg)
+    tp = teacher.init(jax.random.key(0))
+    sp = student.init(jax.random.key(1))
+
+    class FakeLoader:
+        def epoch(self, e):
+            rng = np.random.default_rng(e)
+            for _ in range(10):
+                yield rng.standard_normal((8, 4000)).astype(np.float32), None
+
+    dcfg = DistillConfig(use_reg=False, distill_layer_groups=((0,), (1, 3)),
+                         warmup_updates=2, max_updates=4)
+
+    s_full = train(teacher=teacher, teacher_params=tp, student=student,
+                   student_params=sp, cfg=dcfg, loader=FakeLoader(),
+                   exp_dir=tmp_path / "a", mesh=mesh, fsdp=True,
+                   log_interval=100, ckpt_interval=100)
+    # identical config, preempted mid-run at step 2 (SIGTERM path)
+    s_half = train(teacher=teacher, teacher_params=tp, student=student,
+                   student_params=sp, cfg=dcfg, loader=FakeLoader(),
+                   exp_dir=tmp_path / "b", mesh=mesh, fsdp=True,
+                   log_interval=100, ckpt_interval=100, stop_at_step=2)
+    assert int(s_half.step) == 2
+    s_res = train(teacher=teacher, teacher_params=tp, student=student,
+                  student_params=sp, cfg=dcfg, loader=FakeLoader(),
+                  exp_dir=tmp_path / "c", mesh=mesh, fsdp=True,
+                  log_interval=100, ckpt_interval=100,
+                  resume=str(tmp_path / "b" / "ckpts" / "last.npz"))
+    assert int(s_res.step) == 4
+
+    # resumed == uninterrupted, and the layout survived the round-trip
+    for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_res.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    sharded = [
+        x for x in jax.tree.leaves(s_res.params["student"])
+        if any(s is not None for s in getattr(x.sharding, "spec", ()))
+    ]
+    assert sharded

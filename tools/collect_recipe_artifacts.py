@@ -42,28 +42,44 @@ def main() -> None:
     args = ap.parse_args()
     args.out.mkdir(parents=True, exist_ok=True)
 
-    stamps = {}
+    # a preempted/resumed stage logs its start line more than once — keep
+    # every occurrence so the total wall clock spans all segments
+    stamps: dict = {}
     for line in open(args.log, errors="replace"):
         m = re.match(r"\[run\.sh\] (\S+) (stage [\d.]+|done)", line)
         if m:
-            stamps[m.group(2)] = m.group(1)
+            stamps.setdefault(m.group(2), []).append(m.group(1))
     (args.out / "stage_timestamps.json").write_text(json.dumps(stamps, indent=1))
 
     summary = {"stage_timestamps": stamps}
+    if "stage 1" in stamps and "done" in stamps:
+        from datetime import datetime
+
+        t0 = datetime.fromisoformat(stamps["stage 1"][0])
+        t1 = datetime.fromisoformat(stamps["done"][-1])
+        summary["wall_clock_h"] = round((t1 - t0).total_seconds() / 3600, 3)
+
     for stage in ("stage1", "stage2"):
         src = args.exp / stage / "metrics.jsonl"
         if not src.exists():
             continue
         rows = downsample_metrics(src, args.out / f"{stage}_metrics.jsonl")
         last = rows[-1]
-        n = len(rows)
-        mid = rows[n // 4]  # skip startup for the sustained rate
-        el = last["elapsed"] - mid["elapsed"]
-        st = last["step"] - mid["step"]
+        # metrics.jsonl appends across preemption restarts and "elapsed"
+        # resets with each process: accumulate stepping time per segment
+        total_el = total_st = 0.0
+        prev = None
+        for r in rows:
+            if prev is not None and r["elapsed"] >= prev["elapsed"]:
+                total_el += r["elapsed"] - prev["elapsed"]
+                total_st += r["step"] - prev["step"]
+            prev = r
         summary[stage] = {
             "steps": last["step"],
-            "elapsed_h": round(last["elapsed"] / 3600, 3),
-            "sustained_s_per_step": round(el / st, 4) if st else None,
+            "stepping_h": round(total_el / 3600, 3),
+            "sustained_s_per_step": (
+                round(total_el / total_st, 4) if total_st else None
+            ),
             "final": {k: last[k] for k in
                       ("loss", "loss_distill", "loss_cos", "loss_l1")
                       if k in last},

@@ -183,6 +183,16 @@ def run_train(args, use_reg: bool = True):
     out = pathlib.Path(args.exp_dir) / "ckpts" / "distilled.pth"
     export_student_checkpoint(state, student, cfg, out)
     print(f"Saved distilled checkpoint to {out}")
+
+    # A SIGTERM-preempted run checkpoints and returns early; exit with
+    # EX_TEMPFAIL so recipe drivers (run.sh's `|| exit 1` guards) stop
+    # instead of feeding a partial model to the next stage — resume with
+    # --resume_checkpoint <exp_dir>/ckpts/last.npz.
+    accum = max(cfg.accum_grad, 1)
+    if int(state.step) < args.max_updates * accum:
+        print(f"[distill] preempted at step {int(state.step)} "
+              f"(< {args.max_updates} updates): exiting 75 (resumable)")
+        raise SystemExit(75)
     return state
 
 

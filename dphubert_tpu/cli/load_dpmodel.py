@@ -13,6 +13,10 @@ from ..params import num_leaves_numel
 
 def cli_main():
     force_cpu_for_host_stage()
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__)
+        print("usage: python -m dphubert_tpu.cli.load_dpmodel [ckpt.pth]")
+        return
     path = sys.argv[1] if len(sys.argv) > 1 else "pruned_hubert_base.pth"
     model, params = load_model(path)
     n = num_leaves_numel(params)

@@ -10,6 +10,7 @@ batch over the mesh's ``data`` axis instead of DDP processes.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import signal
 import time
@@ -263,6 +264,39 @@ def train(
     def _on_sigterm(signum, frame):
         stop_requested["flag"] = True
 
+    # OOM safety: some accelerator clients pin a host staging buffer per
+    # host->device transfer (measured: the remote-attached chip's client
+    # leaks exactly the feed bytes, ~6 MB/step, until the OOM killer
+    # SIGKILLs the run mid-step and the latest checkpoint is lost).  Watch
+    # RSS and convert the impending kill into a clean checkpoint-and-exit
+    # the recipe drivers resume from.  DPHUBERT_MAX_RSS_GB overrides the
+    # default 85%-of-RAM threshold; 0 disables.
+    rss_limit = os.environ.get("DPHUBERT_MAX_RSS_GB")
+    if rss_limit is not None:
+        rss_limit = int(float(rss_limit) * 1e9)
+    else:
+        try:
+            rss_limit = int(
+                os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") * 0.85
+            )
+        except (ValueError, OSError, AttributeError):
+            rss_limit = 0
+
+    def _rss_exceeded(step: int) -> bool:
+        if not rss_limit or step % 100 != 0:
+            return False
+        try:
+            with open("/proc/self/statm") as f:
+                rss = int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+        except (OSError, ValueError, IndexError):
+            return False
+        if rss > rss_limit:
+            print(f"[train] rss {rss/1e9:.1f} GB > limit "
+                  f"{rss_limit/1e9:.1f} GB: checkpointing and exiting "
+                  "(resumable)", flush=True)
+            return True
+        return False
+
     try:
         prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
     except ValueError:  # non-main thread
@@ -319,7 +353,8 @@ def train(
                 _checkpoint()
             # ``stop_at_step`` injects a preemption at an exact step (test
             # hook for resume-fidelity: same checkpoint-and-exit path)
-            if stop_requested["flag"] or step == stop_at_step:
+            if (stop_requested["flag"] or step == stop_at_step
+                    or _rss_exceeded(step)):
                 _checkpoint()
                 print(f"[train] SIGTERM: checkpointed at step {step}, exiting")
                 done = True

@@ -41,9 +41,25 @@ final_max_updates=${FINAL_MAX_UPDATES:-25000}
 root_dir=${EXP_DIR:-exp/hubert-base_sp${target_sparsity}}
 mkdir -p "$root_dir"
 
+# A preempted stage (SIGTERM, or the trainer's RSS watchdog converting an
+# impending OOM kill into a clean checkpoint) exits 75: resume it from its
+# own checkpoint until it completes; any other failure aborts.
+retry_resumable() {
+  local attempt=0 rc
+  while :; do
+    "$@" $( [ $attempt -gt 0 ] && echo --resume_checkpoint "$resume_from" )
+    rc=${PIPESTATUS[0]:-$?}
+    [ "$rc" -eq 0 ] && return 0
+    [ "$rc" -ne 75 ] && return "$rc"
+    attempt=$((attempt + 1))
+    echo "[run.sh] $(date -Is) stage preempted (exit 75), resuming (attempt $attempt)"
+  done
+}
+
 echo "[run.sh] $(date -Is) stage 1 (distill) start"
 # ---- stage 1: joint distillation + structured pruning ----
-python -m dphubert_tpu.cli.distill \
+resume_from="$root_dir/stage1/ckpts/last.npz"
+retry_resumable python -m dphubert_tpu.cli.distill \
   --tsv_dir "$tsv_dir" --train_subset "$train_subset" \
   --seconds_per_batch "$seconds_per_batch" \
   --exp_dir "$root_dir/stage1" \
@@ -58,7 +74,7 @@ python -m dphubert_tpu.cli.distill \
   --sparsity_warmup_updates "$sparsity_warmup_updates" \
   --ckpt_backend "$ckpt_backend" --num_shapes "$num_shapes" \
   --log_interval "$log_interval" --ckpt_interval "$ckpt_interval" \
-  --precision bf16 2>&1 | tee "$root_dir/stage1.log" || exit 1
+  --precision bf16 2>&1 | tee -a "$root_dir/stage1.log" || exit 1
 
 echo "[run.sh] $(date -Is) stage 1.5 (prune) start"
 # ---- stage 1.5: mask surgery ----
@@ -68,7 +84,8 @@ python -m dphubert_tpu.cli.prune \
 
 echo "[run.sh] $(date -Is) stage 2 (final_distill) start"
 # ---- stage 2: final distillation of the pruned student ----
-python -m dphubert_tpu.cli.final_distill \
+resume_from="$root_dir/stage2/ckpts/last.npz"
+retry_resumable python -m dphubert_tpu.cli.final_distill \
   --tsv_dir "$tsv_dir" --train_subset "$train_subset" \
   --seconds_per_batch "$seconds_per_batch" \
   --exp_dir "$root_dir/stage2" \
@@ -82,7 +99,7 @@ python -m dphubert_tpu.cli.final_distill \
   --max_updates "$final_max_updates" --clip_norm "$clip_norm" \
   --ckpt_backend "$ckpt_backend" --num_shapes "$num_shapes" \
   --log_interval "$log_interval" --ckpt_interval "$ckpt_interval" \
-  --precision bf16 2>&1 | tee "$root_dir/stage2.log"
+  --precision bf16 2>&1 | tee -a "$root_dir/stage2.log" || exit 1
 
 echo "[run.sh] $(date -Is) stage 3 (save_final_ckpt) start"
 # ---- stage 3: merge + export the portable checkpoint ----

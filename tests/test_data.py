@@ -274,3 +274,38 @@ def test_resume_replays_exact_batch_sequence(tmp_path):
     # and the resumed state matches the uninterrupted run bitwise
     for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_res.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rss_watchdog_checkpoints_and_stops(tmp_path, monkeypatch):
+    """DPHUBERT_MAX_RSS_GB: when host RSS exceeds the limit the trainer
+    takes the SIGTERM checkpoint-and-exit path (OOM converted into a clean
+    resumable preemption — the remote feed client pins one staging buffer
+    per transfer, trainer.py watchdog comment)."""
+    import jax
+
+    from dphubert_tpu import wav2vec2_model
+    from dphubert_tpu.train.distill_module import DistillConfig
+    from dphubert_tpu.train.trainer import train
+
+    from tests.test_forward_parity import _tiny_w2v2_config
+
+    monkeypatch.setenv("DPHUBERT_MAX_RSS_GB", "0.001")
+
+    class FakeLoader:
+        def epoch(self, e):
+            rng = np.random.default_rng(e)
+            for _ in range(300):
+                yield rng.standard_normal((2, 4000)).astype(np.float32), None
+
+    cfg = _tiny_w2v2_config()
+    teacher = wav2vec2_model(**cfg)
+    student = wav2vec2_model(**cfg)
+    s = train(teacher=teacher, teacher_params=teacher.init(jax.random.key(0)),
+              student=student, student_params=student.init(jax.random.key(1)),
+              cfg=DistillConfig(use_reg=False, distill_layer_groups=((0,), (1, 3)),
+                                warmup_updates=2, max_updates=250),
+              loader=FakeLoader(), exp_dir=tmp_path, log_interval=1000,
+              ckpt_interval=1000)
+    # first RSS check is at step 100; any real process exceeds 1 MB
+    assert int(s.step) == 100
+    assert (tmp_path / "ckpts" / "last.npz").exists()

@@ -33,8 +33,13 @@ def main():
     from dphubert_tpu.utils.compilation_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    rng_impl = os.environ.get("DPHUBERT_RNG_IMPL")
-    if rng_impl:  # e.g. "rbg": TPU hardware generator for dropout masks
+    # rbg (TPU hardware generator) is the production default — measured 6%
+    # faster than threefry2x32 (183.0 vs 194.9 ms/step device time, r4
+    # profile; the threefry mask subcomputations are a real slice of the
+    # bandwidth-bound loop-fusion budget).  run.sh passes --rng_impl rbg;
+    # DPHUBERT_RNG_IMPL overrides here.
+    rng_impl = os.environ.get("DPHUBERT_RNG_IMPL", "rbg")
+    if rng_impl != "threefry2x32":
         jax.config.update("jax_default_prng_impl", rng_impl)
 
     from dphubert_tpu import hubert_base, wav2vec2_large, wav2vec2_model, wavlm_base

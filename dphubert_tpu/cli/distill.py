@@ -80,9 +80,18 @@ def add_common_training_args(parser: ArgumentParser) -> None:
     parser.add_argument("--rng_impl", default="threefry2x32",
                         choices=["threefry2x32", "rbg"],
                         help="PRNG implementation for dropout/gate sampling. "
-                        "rbg uses the TPU hardware generator (faster mask "
-                        "generation; same explicit-key determinism within an "
-                        "impl; checkpoints are not resumable across impls).")
+                        "rbg uses the TPU hardware generator — measured 6%% "
+                        "faster steps on v5e (183.0 vs 194.9 ms device "
+                        "time; the production recipes pass it). Same "
+                        "explicit-key determinism within an impl. The impl "
+                        "is recorded in training checkpoints; a resume "
+                        "under a different impl fails loudly instead of "
+                        "silently changing the mask stream.")
+    parser.add_argument("--val_interval", default=0, type=int,
+                        help="Validate every N steps in addition to epoch "
+                        "boundaries (0 = epoch boundaries only). At train960 "
+                        "scale one epoch is tens of thousands of steps, so "
+                        "set this for within-run validation signal.")
     parser.add_argument("--compile_cache_dir", default=None,
                         help="Persistent XLA compilation cache directory "
                         "(default ~/.cache/dphubert_tpu/xla; env "
@@ -147,6 +156,11 @@ def run_train(args, use_reg: bool = True):
 
     multihost_init()
     n_model = max(1, args.tensor_parallel)
+    if n_model > len(jax.devices()):
+        raise SystemExit(
+            f"--tensor_parallel {n_model} needs at least {n_model} devices "
+            f"but only {len(jax.devices())} are visible"
+        )
     n_dev = args.num_data_shards or (len(jax.devices()) // n_model)
     mesh = create_mesh(n_data=n_dev, n_model=n_model)
     loader = build_loader(args, args.train_subset, num_replicas=n_dev,
@@ -179,20 +193,22 @@ def run_train(args, use_reg: bool = True):
         proj_state_dict=proj_sd,
         tensor_parallel=n_model > 1,
         fsdp=args.fsdp,
+        val_interval=getattr(args, "val_interval", 0) or None,
     )
-    out = pathlib.Path(args.exp_dir) / "ckpts" / "distilled.pth"
-    export_student_checkpoint(state, student, cfg, out)
-    print(f"Saved distilled checkpoint to {out}")
 
-    # A SIGTERM-preempted run checkpoints and returns early; exit with
-    # EX_TEMPFAIL so recipe drivers (run.sh's `|| exit 1` guards) stop
-    # instead of feeding a partial model to the next stage — resume with
-    # --resume_checkpoint <exp_dir>/ckpts/last.npz.
+    # A SIGTERM/watchdog-preempted run checkpoints and returns early; exit
+    # with EX_TEMPFAIL *before* exporting, so no partial stage artifact
+    # lands at the stage-output path (and no 94M-param host gather runs)
+    # between retries — resume with --resume_checkpoint <exp_dir>/ckpts/....
     accum = max(cfg.accum_grad, 1)
     if int(state.step) < args.max_updates * accum:
         print(f"[distill] preempted at step {int(state.step)} "
               f"(< {args.max_updates} updates): exiting 75 (resumable)")
         raise SystemExit(75)
+
+    out = pathlib.Path(args.exp_dir) / "ckpts" / "distilled.pth"
+    export_student_checkpoint(state, student, cfg, out)
+    print(f"Saved distilled checkpoint to {out}")
     return state
 
 

@@ -41,7 +41,21 @@ LN_EPS = 1e-5
 
 
 class RngStream:
-    """Deterministic stream of subkeys split from one root key."""
+    """Deterministic stream of subkeys split from one root key.
+
+    The mask *generator* behind each draw is the key's PRNG impl
+    (``jax_default_prng_impl``): threefry2x32 by default, or the TPU
+    hardware generator under ``--rng_impl rbg`` — measured 6% faster
+    end-to-end (183.0 vs 194.9 ms/step device time, r4 profile) because
+    the threefry subcomputations are a real slice of the bandwidth-bound
+    loop-fusion budget.  The impl is recorded in training checkpoints and
+    a resume under a different impl fails loudly (trainer.py).  A third
+    candidate — an out-of-kernel murmur3 counter-hash like the attention
+    kernels use internally — was measured in r4 and DELETED: its mask
+    fusions push the packed-attention backward 1.74 MB over the 16 MB
+    Mosaic scoped-VMEM limit, so the step no longer compiles on v5e
+    (docs/profile_r4_hash.log).
+    """
 
     def __init__(self, key: Optional[jax.Array]):
         self._key = key
@@ -53,44 +67,11 @@ class RngStream:
         return sub
 
 
-def _hash_keep_mask(key: jax.Array, keep: float, shape) -> jax.Array:
-    """Counter-hash keep mask: murmur3-finalizer hash of (key words, flat
-    element index), thresholded at ``keep``.
-
-    Same construction as the in-kernel attention dropout
-    (``ops/flash_attention.py:_dropout_keep_mask``) — a handful of uint32
-    multiply/xor/shift ops that XLA fuses straight into the consuming
-    elementwise graph, instead of a threefry2x32 subcomputation per mask.
-    The activation-dropout masks of a distill step total ~0.7e9 draws
-    (12 layers x up to (B, L, 3072)), which makes the generator cost a
-    measurable slice of the bandwidth-bound "loop fusion" budget.
-    """
-    words = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-    seed = words[0]
-    for i in range(1, words.shape[0]):  # static: 2 (threefry) or 4 (rbg)
-        seed = seed * jnp.uint32(0x9E3779B1) ^ words[i]
-    n = int(np.prod(shape)) if shape else 1
-    x = jnp.arange(n, dtype=jnp.uint32).reshape(shape)
-    x = x * jnp.uint32(0x27D4EB2F) ^ seed
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ (x >> 15)
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
-    return x <= jnp.uint32(min(keep, 1.0) * 4294967295.0)
-
-
-def _dropout(x, rate: float, training: bool, rngs: Optional[RngStream],
-             impl: Optional[str] = None):
+def _dropout(x, rate: float, training: bool, rngs: Optional[RngStream]):
     if not training or rate <= 0.0 or rngs is None:
         return x
     keep = 1.0 - rate
-    if impl is None:
-        impl = os.environ.get("DPHUBERT_DROPOUT_IMPL", "threefry")
-    if impl == "hash":
-        mask = _hash_keep_mask(rngs.next(), keep, x.shape)
-    else:
-        mask = jax.random.bernoulli(rngs.next(), keep, x.shape)
+    mask = jax.random.bernoulli(rngs.next(), keep, x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
@@ -326,8 +307,6 @@ def use_flash_attention() -> bool:
     """Flash kernel gate: on for real TPU backends, off for CPU tests
     (interpret mode is only for kernel unit tests) unless forced via
     DPHUBERT_FLASH_ATTENTION=1/0."""
-    import os
-
     env = os.environ.get("DPHUBERT_FLASH_ATTENTION")
     if env is not None:
         return env not in ("0", "false", "False")

@@ -77,20 +77,25 @@ class MetricLogger:
 
 
 def save_train_state(path, state: TrainState, *, epoch: int = 0,
-                     batch_in_epoch: int = 0) -> None:
+                     batch_in_epoch: int = 0, meta: Optional[dict] = None
+                     ) -> None:
     """Full-fidelity training-state checkpoint (params + Adam moments +
     step + rng + data position) as a flat npz — resume-exact, torch-free.
 
     ``epoch``/``batch_in_epoch`` record the deterministic batcher's position
     so a resumed run consumes exactly the batches an uninterrupted run would
     (the reference restores Lightning's epoch/loop state the same way,
-    distill.py:141-144,180-185)."""
+    distill.py:141-144,180-185).  ``meta`` records static training config a
+    resume must not silently change (e.g. ``rng_impl`` — the PRNG behind
+    every dropout mask and gate-noise draw)."""
     flat = {}
     leaves, treedef = jax.tree_util.tree_flatten(
         state._replace(rng=jax.random.key_data(state.rng))
     )
     for i, leaf in enumerate(leaves):
         flat[f"leaf_{i}"] = np.asarray(leaf)
+    if meta:
+        flat["__meta_json__"] = np.asarray(json.dumps(meta))
     np.savez(path, __num_leaves__=np.asarray(len(leaves)),
              __epoch__=np.asarray(epoch),
              __batch_in_epoch__=np.asarray(batch_in_epoch), **flat)
@@ -103,6 +108,41 @@ def load_train_position(path) -> tuple:
     if "__epoch__" not in data:
         return 0, 0
     return int(data["__epoch__"]), int(data["__batch_in_epoch__"])
+
+
+def load_train_meta(path) -> dict:
+    """Static-config metadata recorded by :func:`save_train_state` ({} for
+    checkpoints written before metadata tracking)."""
+    data = np.load(path)
+    if "__meta_json__" not in data:
+        return {}
+    return json.loads(str(data["__meta_json__"]))
+
+
+def _current_rng_impl() -> str:
+    """Name of the active global PRNG impl ("threefry2x32" default;
+    "rbg" = TPU hardware generator, set via the CLIs' --rng_impl)."""
+    return str(jax.config.jax_default_prng_impl)
+
+
+def _memory_budget_bytes() -> int:
+    """Effective memory budget for the RSS watchdog: the smaller of host
+    physical RAM and the cgroup limit — in a container the OOM killer fires
+    at the cgroup limit, typically far below host RAM."""
+    budgets = []
+    try:
+        budgets.append(os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE"))
+    except (ValueError, OSError, AttributeError):
+        pass
+    for p in ("/sys/fs/cgroup/memory.max",  # cgroup v2
+              "/sys/fs/cgroup/memory/memory.limit_in_bytes"):  # cgroup v1
+        try:
+            text = open(p).read().strip()
+            if text != "max":
+                budgets.append(int(text))
+        except (OSError, ValueError):
+            pass
+    return min(budgets) if budgets else 0
 
 
 def load_train_state(path, template: TrainState) -> TrainState:
@@ -168,6 +208,7 @@ def train(
     tensor_parallel: bool = False,
     fsdp: bool = False,
     stop_at_step: Optional[int] = None,
+    val_interval: Optional[int] = None,
 ) -> TrainState:
     """Run stage-1 (use_reg) or stage-2 (final distill) training to
     ``cfg.max_updates``; returns the final state."""
@@ -252,7 +293,14 @@ def train(
             if mgr is not ckpt_mgr:
                 mgr.close()
         else:
+            from .checkpointing import check_rng_impl
+
             resume_pos = load_train_position(resume)
+            # guard BEFORE loading: the recorded PRNG impl generates every
+            # dropout mask / gate noise draw of the trained trajectory,
+            # and a mismatched impl would fail in load_train_state with a
+            # key-shape error instead of this message
+            check_rng_impl(load_train_meta(resume), resume)
             state = load_train_state(resume, state)
         print(f"[train] resumed from {resume} at step {int(state.step)} "
               f"(epoch {resume_pos[0]}, batch {resume_pos[1]})")
@@ -275,12 +323,9 @@ def train(
     if rss_limit is not None:
         rss_limit = int(float(rss_limit) * 1e9)
     else:
-        try:
-            rss_limit = int(
-                os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") * 0.85
-            )
-        except (ValueError, OSError, AttributeError):
-            rss_limit = 0
+        rss_limit = int(_memory_budget_bytes() * 0.85)
+
+    stop_reason = {"why": None}
 
     def _rss_exceeded(step: int) -> bool:
         if not rss_limit or step % 100 != 0:
@@ -314,6 +359,7 @@ def train(
     epoch, skip = resume_pos
     batch_in_epoch = skip
     done = False
+    last_val_step = -1
 
     # orbax steps are save-once: seed from the directory so a resumed run's
     # SIGTERM/final save cannot collide with a step already on disk
@@ -328,11 +374,13 @@ def train(
             if step != last_saved["step"]:
                 # async; all processes participate
                 ckpt_mgr.save(step, state, epoch=epoch,
-                              batch_in_epoch=batch_in_epoch)
+                              batch_in_epoch=batch_in_epoch,
+                              rng_impl=_current_rng_impl())
                 last_saved["step"] = step
         elif is_main:
             save_train_state(exp_dir / "ckpts" / "last.npz", state,
-                             epoch=epoch, batch_in_epoch=batch_in_epoch)
+                             epoch=epoch, batch_in_epoch=batch_in_epoch,
+                             meta={"rng_impl": _current_rng_impl()})
 
     def _to_device(wave):
         if bsh is not None:
@@ -341,9 +389,11 @@ def train(
         return jax.device_put(wave)
 
     while not done:
+        epoch_yielded = 0
         for wave, lengths, audio_sec in _device_prefetch(
             _epoch_iter(loader, epoch, skip), _to_device
         ):
+            epoch_yielded += 1
             state, metrics = step_fn(state, teacher_params, (wave, lengths))
             step += 1
             batch_in_epoch += 1
@@ -351,12 +401,27 @@ def train(
             logger.log(step, metrics, audio_seconds=audio_sec)
             if step % ckpt_interval == 0:
                 _checkpoint()
+            # step-interval validation: at train960 scale one epoch is tens
+            # of thousands of steps, so epoch-boundary-only validation would
+            # effectively never fire (the reference validates per epoch over
+            # a 50-epoch-scale run, lightning.py:297-304)
+            if (eval_fn is not None and val_interval
+                    and step % val_interval == 0):
+                _run_validation(eval_fn, state, teacher_params, student,
+                                valid_loader, bsh, step)
+                last_val_step = step
             # ``stop_at_step`` injects a preemption at an exact step (test
             # hook for resume-fidelity: same checkpoint-and-exit path)
-            if (stop_requested["flag"] or step == stop_at_step
-                    or _rss_exceeded(step)):
+            if stop_requested["flag"]:
+                stop_reason["why"] = "sigterm"
+            elif step == stop_at_step:
+                stop_reason["why"] = "stop_at_step"
+            elif _rss_exceeded(step):
+                stop_reason["why"] = "rss watchdog"
+            if stop_reason["why"]:
                 _checkpoint()
-                print(f"[train] SIGTERM: checkpointed at step {step}, exiting")
+                print(f"[train] preempted ({stop_reason['why']}): "
+                      f"checkpointed at step {step}, exiting")
                 done = True
                 break
             if step >= max_micro_steps:
@@ -364,11 +429,27 @@ def train(
                 break
         if done:
             break  # keep (epoch, batch_in_epoch) for the final checkpoint
+        if epoch_yielded == 0 and skip == 0:
+            # an empty epoch with nothing skipped would spin forever: the
+            # corpus cannot fill even one global batch (too few samples for
+            # batch_size x num_replicas at every rung) — fail loudly
+            raise RuntimeError(
+                f"loader produced no batches in epoch {epoch}: corpus too "
+                "small for the configured seconds_per_batch x data shards"
+            )
         if eval_fn is not None:
             _run_validation(eval_fn, state, teacher_params, student, valid_loader, bsh, step)
+            last_val_step = step
         epoch += 1
         skip = 0
         batch_in_epoch = 0
+
+    # validate once on the final state of a *completed* run, even when it
+    # ends mid-epoch (a preempted run skips this — it will resume)
+    if (eval_fn is not None and stop_reason["why"] is None and step > 0
+            and last_val_step != step):
+        _run_validation(eval_fn, state, teacher_params, student, valid_loader,
+                        bsh, step)
 
     _checkpoint()
     if ckpt_mgr is not None:
@@ -431,8 +512,12 @@ def _run_validation(eval_fn, state, teacher_params, student, valid_loader, bsh, 
         m = eval_fn(state, teacher_params, (wave, lengths), gates)
         losses.append(float(m["loss"]))
     if jax.process_index() == 0:
-        print(f"[valid] step={step} loss={np.mean(losses):.4f} ({len(losses)} batches)",
-              flush=True)
+        if losses:
+            print(f"[valid] step={step} loss={np.mean(losses):.4f} "
+                  f"({len(losses)} batches)", flush=True)
+        else:
+            print(f"[valid] step={step} skipped: validation set too small "
+                  "to fill one global batch", flush=True)
 
 
 def export_student_checkpoint(

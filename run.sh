@@ -25,6 +25,7 @@ clip_norm=10
 
 # TPU runtime knobs (not part of the published recipe)
 ckpt_backend=${CKPT_BACKEND:-npz}             # orbax: async + keep-last-N
+rng_impl=${RNG_IMPL:-rbg}                     # TPU hardware PRNG: 6% faster steps (r4 profile)
 num_shapes=${NUM_SHAPES:-12}                  # static length-bucket ladder
 log_interval=${LOG_INTERVAL:-50}
 ckpt_interval=${CKPT_INTERVAL:-1000}
@@ -44,10 +45,23 @@ mkdir -p "$root_dir"
 # A preempted stage (SIGTERM, or the trainer's RSS watchdog converting an
 # impending OOM kill into a clean checkpoint) exits 75: resume it from its
 # own checkpoint until it completes; any other failure aborts.
+# $resume_from must match the stage's --ckpt_backend: last.npz for npz,
+# the ckpts/orbax directory for orbax (the trainer restores the latest
+# step from a directory path).
+resume_path() {  # $1 = stage dir
+  if [ "$ckpt_backend" = orbax ]; then
+    echo "$1/ckpts/orbax"
+  else
+    echo "$1/ckpts/last.npz"
+  fi
+}
+
 retry_resumable() {
-  local attempt=0 rc
+  local attempt=0 rc resume_args
   while :; do
-    "$@" $( [ $attempt -gt 0 ] && echo --resume_checkpoint "$resume_from" )
+    resume_args=()
+    [ $attempt -gt 0 ] && resume_args=(--resume_checkpoint "$resume_from")
+    "$@" "${resume_args[@]}"
     rc=${PIPESTATUS[0]:-$?}
     [ "$rc" -eq 0 ] && return 0
     [ "$rc" -ne 75 ] && return "$rc"
@@ -58,7 +72,7 @@ retry_resumable() {
 
 echo "[run.sh] $(date -Is) stage 1 (distill) start"
 # ---- stage 1: joint distillation + structured pruning ----
-resume_from="$root_dir/stage1/ckpts/last.npz"
+resume_from=$(resume_path "$root_dir/stage1")
 retry_resumable python -m dphubert_tpu.cli.distill \
   --tsv_dir "$tsv_dir" --train_subset "$train_subset" \
   --seconds_per_batch "$seconds_per_batch" \
@@ -74,7 +88,7 @@ retry_resumable python -m dphubert_tpu.cli.distill \
   --sparsity_warmup_updates "$sparsity_warmup_updates" \
   --ckpt_backend "$ckpt_backend" --num_shapes "$num_shapes" \
   --log_interval "$log_interval" --ckpt_interval "$ckpt_interval" \
-  --precision bf16 2>&1 | tee -a "$root_dir/stage1.log" || exit 1
+  --precision bf16 --rng_impl "$rng_impl" 2>&1 | tee -a "$root_dir/stage1.log" || exit 1
 
 echo "[run.sh] $(date -Is) stage 1.5 (prune) start"
 # ---- stage 1.5: mask surgery ----
@@ -84,7 +98,7 @@ python -m dphubert_tpu.cli.prune \
 
 echo "[run.sh] $(date -Is) stage 2 (final_distill) start"
 # ---- stage 2: final distillation of the pruned student ----
-resume_from="$root_dir/stage2/ckpts/last.npz"
+resume_from=$(resume_path "$root_dir/stage2")
 retry_resumable python -m dphubert_tpu.cli.final_distill \
   --tsv_dir "$tsv_dir" --train_subset "$train_subset" \
   --seconds_per_batch "$seconds_per_batch" \
@@ -99,7 +113,7 @@ retry_resumable python -m dphubert_tpu.cli.final_distill \
   --max_updates "$final_max_updates" --clip_norm "$clip_norm" \
   --ckpt_backend "$ckpt_backend" --num_shapes "$num_shapes" \
   --log_interval "$log_interval" --ckpt_interval "$ckpt_interval" \
-  --precision bf16 2>&1 | tee -a "$root_dir/stage2.log" || exit 1
+  --precision bf16 --rng_impl "$rng_impl" 2>&1 | tee -a "$root_dir/stage2.log" || exit 1
 
 echo "[run.sh] $(date -Is) stage 3 (save_final_ckpt) start"
 # ---- stage 3: merge + export the portable checkpoint ----

@@ -62,6 +62,27 @@ def test_orbax_rotation_keeps_last_n(tmp_path):
     mgr.close()
 
 
+def test_orbax_rng_impl_mismatch_refused(tmp_path):
+    """An orbax checkpoint written under threefry must refuse a templated
+    restore under rbg with the recorded-impl message — not a key-shape
+    error (the template's rng key data wouldn't even match: 2 uint32
+    words vs 4)."""
+    state = _make_state(0)
+    mgr = AsyncCheckpointer(tmp_path / "ck", keep=2)
+    mgr.save(3, state, rng_impl="threefry2x32")
+    mgr.wait()
+
+    prev = str(jax.config.jax_default_prng_impl)
+    jax.config.update("jax_default_prng_impl", "rbg")
+    try:
+        template = _make_state(9)  # rbg-keyed template
+        with pytest.raises(ValueError, match="rng_impl"):
+            mgr.restore_latest(template)
+    finally:
+        jax.config.update("jax_default_prng_impl", prev)
+        mgr.close()
+
+
 def test_trainer_orbax_preempt_resume_exact(tmp_path):
     """Preemption-style resume: SIGTERM after 2 steps checkpoints through
     the orbax backend; resuming from the directory under the SAME config

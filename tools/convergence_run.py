@@ -6,12 +6,12 @@ hyperparameters; expected endpoint reference README.md:109-112 — DPHuBERT
 23,585,946 / DPWavLM 23,586,325 params from ~94.7M at sparsity 0.75):
 sparsity must lock onto the target and surgery must produce a ~22-24M-param
 heterogeneous student.  Produced docs/convergence_r2.jsonl (HuBERT, 8k
-steps) and docs/convergence_wavlm_r3.jsonl (DPWavLM).
+steps) and docs/convergence_wavlm_r4.jsonl (DPWavLM, 6k steps).
 
 Usage::
 
     nohup python tools/convergence_run.py --model wavlm_base \
-        --steps 3000 --out docs/convergence_wavlm_r3 &
+        --steps 6000 --out docs/convergence_wavlm_r4 &
 """
 
 from __future__ import annotations

@@ -33,18 +33,24 @@ def parse_xplane(logdir: str):
         if "/device:TPU:0" not in plane.name:
             continue
         by_cat = collections.Counter()
+        stat_names = {i: m.name for i, m in plane.stat_metadata.items()}
+
+        def _category(stats):
+            for st in stats:
+                if stat_names.get(st.metadata_id) == "hlo_category":
+                    return (st.str_value
+                            or stat_names.get(st.ref_value, "?"))
+            return None
+
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
-            stat_names = {i: m.name for i, m in plane.stat_metadata.items()}
             for ev in line.events:
-                cat = "?"
-                for st in ev.stats:
-                    if stat_names.get(st.metadata_id) == "hlo_category":
-                        cat = (st.str_value
-                               or plane.stat_metadata[st.metadata_id].name)
-                        if st.ref_value:
-                            cat = plane.stat_metadata[st.ref_value].name
+                # newer xplane puts hlo_category on the event *metadata*
+                # stats (shared per HLO op); older formats on each event
+                md = plane.event_metadata.get(ev.metadata_id)
+                cat = (_category(md.stats if md is not None else ())
+                       or _category(ev.stats) or "?")
                 by_cat[cat] += ev.duration_ps
         return by_cat
     raise RuntimeError("TPU plane not found")
@@ -57,11 +63,18 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seconds", type=float, default=15.0)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--rng_impl", default="threefry2x32",
+                    choices=["threefry2x32", "rbg"],
+                    help="jax global PRNG impl (rbg = TPU hardware "
+                    "generator for the mask draws)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if args.rng_impl != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
 
     from dphubert_tpu import hubert_base, wav2vec2_model, wavlm_base
     from dphubert_tpu.train.distill_module import (

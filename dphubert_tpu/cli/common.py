@@ -49,7 +49,7 @@ def merge_params(template, source):
 
 
 def build_loader(args, subset: str, num_replicas: int = 1,
-                 shuffle_seed: int = 0):
+                 shuffle_seed: int = 0, run_length: int = 1):
     """``seconds_per_batch`` is the per-replica audio budget (same semantics
     as the reference CLI, where each DDP rank packs its own batches); the
     global batch is ``num_replicas``× that, sharded over the mesh."""
@@ -62,6 +62,7 @@ def build_loader(args, subset: str, num_replicas: int = 1,
         num_shapes=getattr(args, "num_shapes", 12),
         seed=shuffle_seed,
         num_replicas=num_replicas,
+        run_length=run_length,
     )
     shard = None
     if jax.process_count() > 1:

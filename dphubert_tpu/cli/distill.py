@@ -87,6 +87,13 @@ def add_common_training_args(parser: ArgumentParser) -> None:
                         "is recorded in training checkpoints; a resume "
                         "under a different impl fails loudly instead of "
                         "silently changing the mask stream.")
+    parser.add_argument("--steps_per_dispatch", default=1, type=int,
+                        help="Stack K consecutive same-shape batches into "
+                        "one jitted multi-step dispatch (lax.scan): one "
+                        "launch + one feed transfer per K steps. Keeps the "
+                        "device saturated behind slow host links; K=1 is "
+                        "the plain per-step loop. The batcher emits "
+                        "same-shape runs of K so stacks actually form.")
     parser.add_argument("--val_interval", default=0, type=int,
                         help="Validate every N steps in addition to epoch "
                         "boundaries (0 = epoch boundaries only). At train960 "
@@ -164,6 +171,7 @@ def run_train(args, use_reg: bool = True):
     n_dev = args.num_data_shards or (len(jax.devices()) // n_model)
     mesh = create_mesh(n_data=n_dev, n_model=n_model)
     loader = build_loader(args, args.train_subset, num_replicas=n_dev,
+                          run_length=getattr(args, "steps_per_dispatch", 1),
                           shuffle_seed=args.seed)
     valid_loader = None
     try:
@@ -194,6 +202,7 @@ def run_train(args, use_reg: bool = True):
         tensor_parallel=n_model > 1,
         fsdp=args.fsdp,
         val_interval=getattr(args, "val_interval", 0) or None,
+        steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
     )
 
     # A SIGTERM/watchdog-preempted run checkpoints and returns early; exit

@@ -159,6 +159,13 @@ class StaticShapeBatcher:
     on the largest rung <= L and is random-cropped to exactly that length.
     Batch size per rung = floor(max_token_count / rung), so every batch
     carries ~max_token_count samples of audio regardless of shape.
+
+    ``run_length=K`` emits the epoch as same-rung *runs* of K consecutive
+    batches (runs shuffled, K=1 recovers the plain batch shuffle): the
+    trainer can then stack K consecutive batches into one multi-step
+    dispatch (``steps_per_dispatch``) without ever mixing shapes.  Batch
+    contents are identical either way — only epoch order changes, and it
+    is equally deterministic given (seed, epoch).
     """
 
     def __init__(
@@ -172,6 +179,7 @@ class StaticShapeBatcher:
         seed: int = 0,
         num_replicas: int = 1,
         drop_last: bool = True,
+        run_length: int = 1,
     ) -> None:
         if max_len > max_token_count:
             raise ValueError("max_token_count must cover max_len")
@@ -182,6 +190,7 @@ class StaticShapeBatcher:
         self.seed = seed
         self.num_replicas = num_replicas
         self.drop_last = drop_last
+        self.run_length = max(int(run_length), 1)
 
         ratio = (max_len / min_len) ** (1.0 / (num_shapes - 1))
         rungs = [min_len]
@@ -232,5 +241,21 @@ class StaticShapeBatcher:
                 tail = members[n_full * gbs :]
                 reps = int(np.ceil(gbs / len(tail)))
                 batches.append((rung, np.tile(tail, reps)[:gbs]))
+        if self.run_length > 1:
+            # same-rung runs of K (batches are rung-contiguous here), runs
+            # shuffled: consecutive batches share a shape so the trainer
+            # can stack them into one dispatch
+            runs = []
+            start = 0
+            while start < len(batches):
+                rung = batches[start][0]
+                end = start
+                while end < len(batches) and batches[end][0] == rung:
+                    end += 1
+                for j in range(start, end, self.run_length):
+                    runs.append(batches[j:min(j + self.run_length, end)])
+                start = end
+            order = rng.permutation(len(runs))
+            return [b for k in order for b in runs[k]]
         perm = rng.permutation(len(batches))
         return [batches[i] for i in perm]

@@ -33,6 +33,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a (steps, batch, ...) stack fed to a multi-step
+    dispatch: the batch axis (axis 1) shards over ``data``, the scanned
+    steps axis stays unsharded."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

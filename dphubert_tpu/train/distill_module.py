@@ -235,12 +235,23 @@ def make_train_step(
     tx: optax.GradientTransformation,
     *,
     donate: bool = True,
+    steps_per_call: int = 1,
 ):
     """Build the jitted train step: (state, teacher_params, batch) -> (state,
     metrics).  Close over static models/config; teacher params passed as an
-    argument so they live in device memory once."""
+    argument so they live in device memory once.
 
-    def step_fn(state: TrainState, teacher_params, batch):
+    ``steps_per_call > 1`` returns a multi-step variant that runs K
+    micro-steps per dispatch via ``lax.scan``: ``batch`` becomes a stacked
+    ``(wave[K, B, T], lengths[K, B] | None)`` and every metric comes back
+    stacked ``(K,)``.  The math is identical to K single dispatches (scan
+    threads the exact same state/rng chain); what changes is host traffic —
+    one launch and one feed transfer instead of K, which matters when the
+    chip sits behind a high-latency link (the remote-relay measurement:
+    0.25 s/step wall vs 0.183 s device time at K=1).  Peak device memory is
+    unchanged (scan reuses one step's working set)."""
+
+    def one_step(state: TrainState, teacher_params, batch):
         rng, gate_key, fwd_key = jax.random.split(state.rng, 3)
 
         def loss_fn(params):
@@ -266,7 +277,16 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1, rng), metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    if steps_per_call == 1:
+        return jax.jit(one_step, donate_argnums=(0,) if donate else ())
+
+    def multi_step(state: TrainState, teacher_params, batches):
+        def body(st, batch):
+            return one_step(st, teacher_params, batch)
+
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..models.gates import compile_gates, has_gates
 from ..models.model import Wav2Vec2Model
-from ..parallel.mesh import batch_sharding, replicate
+from ..parallel.mesh import batch_sharding, replicate, stacked_batch_sharding
 from ..parallel.multihost import global_batch_from_local
 from ..params import flatten_params
 from .distill_module import (
@@ -209,9 +209,20 @@ def train(
     fsdp: bool = False,
     stop_at_step: Optional[int] = None,
     val_interval: Optional[int] = None,
+    steps_per_dispatch: int = 1,
 ) -> TrainState:
     """Run stage-1 (use_reg) or stage-2 (final distill) training to
-    ``cfg.max_updates``; returns the final state."""
+    ``cfg.max_updates``; returns the final state.
+
+    ``steps_per_dispatch=K`` stacks K consecutive same-shape batches into
+    one jitted multi-step dispatch (``make_train_step(steps_per_call=K)``):
+    one launch and one feed transfer per K steps, which keeps the device
+    saturated when the host link is slow (remote/tunneled chips) or the
+    host is loaded.  Identical math to K single dispatches modulo float
+    reassociation in the differently-compiled graph; pair it with the
+    batcher's ``run_length=K`` so same-shape batches actually arrive
+    consecutively.  Checkpoint/validation intervals fire on crossing
+    (within K-1 steps of the exact multiple)."""
     exp_dir = pathlib.Path(exp_dir)
     is_main = jax.process_index() == 0
     if is_main:
@@ -327,9 +338,12 @@ def train(
 
     stop_reason = {"why": None}
 
+    rss_last_check = {"step": 0}
+
     def _rss_exceeded(step: int) -> bool:
-        if not rss_limit or step % 100 != 0:
+        if not rss_limit or step - rss_last_check["step"] < 100:
             return False
+        rss_last_check["step"] = step
         try:
             with open("/proc/self/statm") as f:
                 rss = int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
@@ -348,6 +362,9 @@ def train(
         prev_handler = None
 
     step_fn = make_train_step(teacher, student, cfg, tx)
+    K = max(int(steps_per_dispatch), 1)
+    multi_fn = (make_train_step(teacher, student, cfg, tx, steps_per_call=K)
+                if K > 1 else None)
     eval_fn = make_eval_step(teacher, student, cfg) if valid_loader else None
 
     # ``state.step`` counts micro-steps; optimizer updates advance every
@@ -382,39 +399,75 @@ def train(
                              epoch=epoch, batch_in_epoch=batch_in_epoch,
                              meta={"rng_impl": _current_rng_impl()})
 
+    stacked_bsh = stacked_batch_sharding(mesh) if mesh is not None else None
+
     def _to_device(wave):
         if bsh is not None:
+            if wave.ndim == 3:  # (K, local_B, T) stack for one dispatch
+                gshape = (wave.shape[0],
+                          wave.shape[1] * jax.process_count()) + wave.shape[2:]
+                return global_batch_from_local(stacked_bsh, wave, gshape)
             gshape = (wave.shape[0] * jax.process_count(),) + wave.shape[1:]
             return global_batch_from_local(bsh, wave, gshape)
         return jax.device_put(wave)
 
+    def _log_dispatch(prev_step, n, metrics, audio_sec):
+        """Per-micro-step logging for an n-step dispatch.  Stacked metrics
+        are fetched to host in ONE transfer, and only when a micro-step in
+        this dispatch actually hits the log interval — other dispatches
+        stay fully async (no device sync between launches)."""
+        if n == 1:
+            metrics["updates"] = (prev_step + 1) // accum
+            logger.log(prev_step + 1, metrics, audio_seconds=audio_sec)
+            return
+        iv = logger.interval
+        need = any((prev_step + 1 + j) % iv == 0 for j in range(n))
+        rows = jax.device_get(metrics) if (need and logger.enabled) else None
+        share = audio_sec / n
+        for j in range(n):
+            ms = prev_step + 1 + j
+            if rows is not None:
+                row = {k: v[j] for k, v in rows.items()}
+                row["updates"] = ms // accum
+            else:
+                row = {}
+            logger.log(ms, row, audio_seconds=share)
+
     while not done:
         epoch_yielded = 0
         for wave, lengths, audio_sec in _device_prefetch(
-            _epoch_iter(loader, epoch, skip), _to_device
+            _group_iter(_epoch_iter(loader, epoch, skip), K,
+                        lambda: max_micro_steps - step),
+            _to_device,
         ):
-            epoch_yielded += 1
-            state, metrics = step_fn(state, teacher_params, (wave, lengths))
-            step += 1
-            batch_in_epoch += 1
-            metrics["updates"] = step // accum
-            logger.log(step, metrics, audio_seconds=audio_sec)
-            if step % ckpt_interval == 0:
+            n = wave.shape[0] if wave.ndim == 3 else 1
+            epoch_yielded += n
+            if n > 1:
+                state, metrics = multi_fn(state, teacher_params, (wave, lengths))
+            else:
+                state, metrics = step_fn(state, teacher_params, (wave, lengths))
+            prev_step = step
+            step += n
+            batch_in_epoch += n
+            _log_dispatch(prev_step, n, metrics, audio_sec)
+            if step // ckpt_interval > prev_step // ckpt_interval:
                 _checkpoint()
             # step-interval validation: at train960 scale one epoch is tens
             # of thousands of steps, so epoch-boundary-only validation would
             # effectively never fire (the reference validates per epoch over
             # a 50-epoch-scale run, lightning.py:297-304)
             if (eval_fn is not None and val_interval
-                    and step % val_interval == 0):
+                    and step // val_interval > prev_step // val_interval):
                 _run_validation(eval_fn, state, teacher_params, student,
                                 valid_loader, bsh, step)
                 last_val_step = step
             # ``stop_at_step`` injects a preemption at an exact step (test
-            # hook for resume-fidelity: same checkpoint-and-exit path)
+            # hook for resume-fidelity: same checkpoint-and-exit path); with
+            # K>1 the checkpoint lands on the dispatch boundary >= the mark
             if stop_requested["flag"]:
                 stop_reason["why"] = "sigterm"
-            elif step == stop_at_step:
+            elif (stop_at_step is not None
+                    and prev_step < stop_at_step <= step):
                 stop_reason["why"] = "stop_at_step"
             elif _rss_exceeded(step):
                 stop_reason["why"] = "rss watchdog"
@@ -459,6 +512,40 @@ def train(
     return state
 
 
+def _group_iter(it, k: int, remaining):
+    """Stack runs of ``k`` consecutive same-shape batches into one
+    (k, B, T) feed for a multi-step dispatch; shape changes, epoch tails,
+    and the last < k steps before ``remaining()`` runs out flush as
+    single batches.  Pair the batcher's ``run_length=k`` with this so
+    runs actually form (a plain shuffled epoch interleaves shapes)."""
+    if k <= 1:
+        yield from it
+        return
+    pend = []
+
+    def _flush_single(p):
+        for w, l in p:
+            yield w, l
+
+    for wave, lengths in it:
+        if pend and (pend[0][0].shape != wave.shape
+                     or (pend[0][1] is None) != (lengths is None)):
+            yield from _flush_single(pend)
+            pend = []
+        pend.append((wave, lengths))
+        if len(pend) == k:
+            if remaining() < k:  # don't overshoot max_updates
+                yield from _flush_single(pend)
+            else:
+                yield (
+                    np.stack([w for w, _ in pend]),
+                    (np.stack([l for _, l in pend])
+                     if pend[0][1] is not None else None),
+                )
+            pend = []
+    yield from _flush_single(pend)
+
+
 def _device_prefetch(it, to_device):
     """Run one batch ahead: issue the (async) host->device transfer of
     batch N+1 while the device computes step N, hiding the feed latency.
@@ -468,9 +555,8 @@ def _device_prefetch(it, to_device):
     Yields (device_wave, lengths, local_audio_seconds)."""
     prev = None
     for wave, lengths in it:
-        audio_sec = (
-            wave.shape[0] * jax.process_count() * wave.shape[1] / 16000
-        )
+        rows = int(np.prod(wave.shape[:-1]))
+        audio_sec = rows * jax.process_count() * wave.shape[-1] / 16000
         cur = (to_device(wave), lengths, audio_sec)
         if prev is not None:
             yield prev

@@ -26,6 +26,7 @@ clip_norm=10
 # TPU runtime knobs (not part of the published recipe)
 ckpt_backend=${CKPT_BACKEND:-npz}             # orbax: async + keep-last-N
 rng_impl=${RNG_IMPL:-rbg}                     # TPU hardware PRNG: 6% faster steps (r4 profile)
+steps_per_dispatch=${STEPS_PER_DISPATCH:-4}   # K batches per jitted dispatch: ~13% faster steps (r4 CLI A/B)
 num_shapes=${NUM_SHAPES:-12}                  # static length-bucket ladder
 log_interval=${LOG_INTERVAL:-50}
 ckpt_interval=${CKPT_INTERVAL:-1000}
@@ -88,7 +89,8 @@ retry_resumable python -m dphubert_tpu.cli.distill \
   --sparsity_warmup_updates "$sparsity_warmup_updates" \
   --ckpt_backend "$ckpt_backend" --num_shapes "$num_shapes" \
   --log_interval "$log_interval" --ckpt_interval "$ckpt_interval" \
-  --precision bf16 --rng_impl "$rng_impl" 2>&1 | tee -a "$root_dir/stage1.log" || exit 1
+  --precision bf16 --rng_impl "$rng_impl" \
+  --steps_per_dispatch "$steps_per_dispatch" 2>&1 | tee -a "$root_dir/stage1.log" || exit 1
 
 echo "[run.sh] $(date -Is) stage 1.5 (prune) start"
 # ---- stage 1.5: mask surgery ----
@@ -113,7 +115,8 @@ retry_resumable python -m dphubert_tpu.cli.final_distill \
   --max_updates "$final_max_updates" --clip_norm "$clip_norm" \
   --ckpt_backend "$ckpt_backend" --num_shapes "$num_shapes" \
   --log_interval "$log_interval" --ckpt_interval "$ckpt_interval" \
-  --precision bf16 --rng_impl "$rng_impl" 2>&1 | tee -a "$root_dir/stage2.log" || exit 1
+  --precision bf16 --rng_impl "$rng_impl" \
+  --steps_per_dispatch "$steps_per_dispatch" 2>&1 | tee -a "$root_dir/stage2.log" || exit 1
 
 echo "[run.sh] $(date -Is) stage 3 (save_final_ckpt) start"
 # ---- stage 3: merge + export the portable checkpoint ----

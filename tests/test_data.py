@@ -89,6 +89,41 @@ def test_static_shape_batcher_deterministic_and_replica_consistent():
     )
 
 
+def test_static_shape_batcher_run_length_groups_shapes():
+    """run_length=K emits same-rung runs of K consecutive batches with the
+    same batch multiset as the plain shuffle (only epoch order changes)."""
+    lengths = np.random.default_rng(2).integers(32000, 250001, size=600)
+    plain = StaticShapeBatcher(lengths, max_token_count=320000, num_shapes=6,
+                               seed=5)
+    grouped = StaticShapeBatcher(lengths, max_token_count=320000,
+                                 num_shapes=6, seed=5, run_length=4)
+    ep, eg = plain.epoch_batches(1), grouped.epoch_batches(1)
+    assert len(ep) == len(eg)
+    # identical multiset of batches
+    key = lambda b: (b[0], tuple(sorted(b[1])))
+    assert sorted(map(key, ep)) == sorted(map(key, eg))
+    # runs: every full group of 4 starting at a run boundary shares a rung
+    i = 0
+    runs = []
+    while i < len(eg):
+        rung = eg[i][0]
+        j = i
+        while j < len(eg) and eg[j][0] == rung:
+            j += 1
+        runs.append(j - i)
+        i = j
+    # all but the per-rung tails are multiples of 4 joined together; at
+    # minimum, most batches must sit in runs >= 4
+    in_runs = sum(r for r in runs if r >= 4)
+    assert in_runs >= 0.7 * len(eg), runs
+    # determinism
+    eg2 = StaticShapeBatcher(lengths, max_token_count=320000, num_shapes=6,
+                             seed=5, run_length=4).epoch_batches(1)
+    for (r1, i1), (r2, i2) in zip(eg, eg2):
+        assert r1 == r2
+        np.testing.assert_array_equal(i1, i2)
+
+
 def test_train_state_save_load_roundtrip(tmp_path):
     import jax
 

@@ -435,3 +435,44 @@ def test_distill_step_gradients_match_reference(reference_module):
         np.testing.assert_allclose(og, rg, atol=2e-5, rtol=2e-4, err_msg=k)
         checked += 1
     assert checked > 20  # conv stack + attention + FFN + norms all covered
+
+
+def test_multi_step_dispatch_matches_single_steps():
+    """make_train_step(steps_per_call=K) scans K micro-steps in one call:
+    identical state/rng threading to K single dispatches (params agree to
+    float-reassociation tolerance; per-step metrics match)."""
+    cfg = _tiny_w2v2_config()
+    t = wav2vec2_model(**cfg)
+    s = wav2vec2_model(**cfg)
+    tp = t.init(jax.random.key(0))
+    sp = s.init(jax.random.key(1))
+    dcfg = DistillConfig(use_reg=False, distill_layer_groups=((0,), (1, 3)),
+                         warmup_updates=2, max_updates=8)
+
+    def fresh():
+        st, tx = init_train_state(
+            student=s, student_params=sp, cfg=dcfg,
+            teacher_embed_dim=t.spec.embed_dim, rng=jax.random.key(2),
+        )
+        return st, tx
+
+    st1, tx = fresh()
+    st2, _ = fresh()
+    f1 = make_train_step(t, s, dcfg, tx, donate=False)
+    f4 = make_train_step(t, s, dcfg, tx, donate=False, steps_per_call=4)
+    waves = np.random.default_rng(0).standard_normal((4, 2, 4000)).astype(np.float32)
+
+    singles = []
+    for k in range(4):
+        st1, m = f1(st1, tp, (waves[k], None))
+        singles.append(float(m["loss"]))
+    st2, mm = f4(st2, tp, (jnp.asarray(waves), None))
+
+    assert int(st1.step) == int(st2.step) == 4
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mm["loss"]), singles, rtol=1e-5)
+    np.testing.assert_array_equal(
+        jax.random.key_data(st1.rng), jax.random.key_data(st2.rng)
+    )

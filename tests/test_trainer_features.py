@@ -120,6 +120,49 @@ def test_rng_impl_resume_mismatch_refused(tmp_path):
     assert int(state.step) == 6
 
 
+def test_steps_per_dispatch_trains_and_matches_single(tmp_path, capsys):
+    """steps_per_dispatch=2 must (a) reach the same step count, (b) log
+    every step's metrics at log_interval=1 with finite losses, and (c)
+    land numerically on the single-dispatch trajectory (same math, the
+    scanned graph only reassociates float ops)."""
+    t, tp, s, sp = _models()
+    s1 = train(teacher=t, teacher_params=tp, student=s, student_params=sp,
+               cfg=_cfg(), loader=FakeLoader(), exp_dir=tmp_path / "a",
+               log_interval=100, ckpt_interval=100)
+    capsys.readouterr()
+    s2 = train(teacher=t, teacher_params=tp, student=s, student_params=sp,
+               cfg=_cfg(), loader=FakeLoader(), exp_dir=tmp_path / "b",
+               log_interval=1, ckpt_interval=100, steps_per_dispatch=2)
+    out = capsys.readouterr().out
+    assert int(s1.step) == int(s2.step) == 6
+    logged = [l for l in out.splitlines() if l.startswith("[train] step=")]
+    assert len(logged) == 6, out  # every micro-step logged
+    assert all("loss=" in l for l in logged)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_steps_per_dispatch_resume_positions(tmp_path):
+    """A K=2 run preempted mid-stream checkpoints on a dispatch boundary
+    and resumes position-exact to completion."""
+    t, tp, s, sp = _models()
+    train(teacher=t, teacher_params=tp, student=s, student_params=sp,
+          cfg=_cfg(), loader=FakeLoader(), exp_dir=tmp_path,
+          log_interval=100, ckpt_interval=100, steps_per_dispatch=2,
+          stop_at_step=3)  # lands on the dispatch boundary at step 4
+    ckpt = tmp_path / "ckpts" / "last.npz"
+    assert ckpt.exists()
+    from dphubert_tpu.train.trainer import load_train_position
+    assert load_train_position(ckpt) == (0, 4)
+
+    state = train(teacher=t, teacher_params=tp, student=s, student_params=sp,
+                  cfg=_cfg(), loader=FakeLoader(), exp_dir=tmp_path,
+                  log_interval=100, ckpt_interval=100, steps_per_dispatch=2,
+                  resume=str(ckpt))
+    assert int(state.step) == 6
+
+
 def test_memory_budget_prefers_cgroup_limit(tmp_path, monkeypatch):
     """In a container the OOM killer fires at the cgroup limit, not host
     RAM — the watchdog default must use the smaller of the two."""

@@ -45,6 +45,39 @@ def test_train_step_8_device_mesh():
     assert len(leaf.sharding.device_set) == 8
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_steps_per_dispatch_on_mesh(tmp_path):
+    """steps_per_dispatch=2 through train() on the 8-device mesh: the
+    (K, B, T) stack shards its *batch* axis (axis 1) over data while the
+    scanned steps axis stays unsharded, and training completes."""
+    from dphubert_tpu.train.trainer import train
+
+    mesh = create_mesh(n_data=8)
+    cfg = _tiny_w2v2_config()
+    teacher = wav2vec2_model(**cfg)
+    student = wav2vec2_model(**cfg)
+
+    class FakeLoader:
+        def epoch(self, e, skip=0):
+            rng = np.random.default_rng(e)
+            for i in range(20):
+                w = rng.standard_normal((16, 4000)).astype(np.float32)
+                if i >= skip:
+                    yield w, None
+
+    state = train(
+        teacher=teacher, teacher_params=teacher.init(jax.random.key(0)),
+        student=student, student_params=student.init(jax.random.key(1)),
+        cfg=DistillConfig(use_reg=False, distill_layer_groups=((0,), (1, 3)),
+                          warmup_updates=2, max_updates=4),
+        loader=FakeLoader(), exp_dir=tmp_path, mesh=mesh,
+        log_interval=100, ckpt_interval=100, steps_per_dispatch=2,
+    )
+    assert int(state.step) == 4
+    leaf = jax.tree.leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
 def test_batch_sharding_layout():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

@@ -441,6 +441,24 @@ def train(
             _to_device,
         ):
             n = wave.shape[0] if wave.ndim == 3 else 1
+            if n > 1 and step + n > max_micro_steps:
+                # the grouper's remaining() guard is evaluated one dispatch
+                # early (prefetch runs ahead): consume only the micro-steps
+                # that fit, stepping device-side slices of the stack, so
+                # the run ends exactly at max_updates and batch_in_epoch
+                # counts exactly the consumed batches
+                need = max_micro_steps - step
+                for j in range(need):
+                    lj = None if lengths is None else lengths[j]
+                    state, metrics = step_fn(state, teacher_params,
+                                             (wave[j], lj))
+                    epoch_yielded += 1
+                    prev_step = step
+                    step += 1
+                    batch_in_epoch += 1
+                    _log_dispatch(prev_step, 1, metrics, audio_sec / n)
+                done = True
+                break
             epoch_yielded += n
             if n > 1:
                 state, metrics = multi_fn(state, teacher_params, (wave, lengths))

@@ -143,6 +143,21 @@ def test_steps_per_dispatch_trains_and_matches_single(tmp_path, capsys):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_steps_per_dispatch_stops_exactly_at_max_updates(tmp_path):
+    """K=4 with max_updates=6: the prefetch-ahead grouper still emits a
+    full stack for steps 5-8, but the trainer must consume only 2 of it
+    (device-side slices) and stop exactly at 6, with batch_in_epoch
+    counting exactly the consumed batches."""
+    from dphubert_tpu.train.trainer import load_train_position
+
+    t, tp, s, sp = _models()
+    state = train(teacher=t, teacher_params=tp, student=s, student_params=sp,
+                  cfg=_cfg(), loader=FakeLoader(), exp_dir=tmp_path,
+                  log_interval=100, ckpt_interval=100, steps_per_dispatch=4)
+    assert int(state.step) == 6
+    assert load_train_position(tmp_path / "ckpts" / "last.npz") == (0, 6)
+
+
 def test_steps_per_dispatch_resume_positions(tmp_path):
     """A K=2 run preempted mid-stream checkpoints on a dispatch boundary
     and resumes position-exact to completion."""

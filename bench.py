@@ -38,7 +38,7 @@ def main():
     # profile; the threefry mask subcomputations are a real slice of the
     # bandwidth-bound loop-fusion budget).  run.sh passes --rng_impl rbg;
     # DPHUBERT_RNG_IMPL overrides here.
-    rng_impl = os.environ.get("DPHUBERT_RNG_IMPL", "rbg")
+    rng_impl = os.environ.get("DPHUBERT_RNG_IMPL") or "rbg"
     if rng_impl != "threefry2x32":
         jax.config.update("jax_default_prng_impl", rng_impl)
 

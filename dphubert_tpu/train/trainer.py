@@ -147,44 +147,21 @@ def _memory_budget_bytes() -> int:
 
 def load_train_state(path, template: TrainState) -> TrainState:
     """Restore a checkpoint into the template's structure; leaves are placed
-    onto the template's shardings (so TP/replicated layouts survive resume)."""
+    onto the template's shardings (so TP/replicated layouts survive resume)
+    by the rule shared with the orbax path
+    (``checkpointing._place_restored_leaf``)."""
+    from .checkpointing import _place_restored_leaf, _wrap_rng
+
     data = np.load(path)
     n = int(data["__num_leaves__"])
     leaves = [data[f"leaf_{i}"] for i in range(n)]
     tmpl_flat, treedef = jax.tree_util.tree_flatten(
         template._replace(rng=jax.random.key_data(template.rng))
     )
-
-    def _place(leaf, t):
-        if not (isinstance(t, jax.Array) and hasattr(t, "sharding")):
-            return leaf
-        if jax.process_count() > 1:
-            if not t.sharding.is_fully_addressable:
-                # device_put cannot target non-addressable devices; every
-                # host has the full leaf (shared-FS npz), so hand each
-                # addressable device its slice — correct for replicated AND
-                # sharded layouts
-                full = np.asarray(leaf)
-                return jax.make_array_from_callback(
-                    t.shape, t.sharding, lambda idx: full[idx]
-                )
-            # template leaf is host-local (e.g. step/rng created outside the
-            # mesh): keep the restored value uncommitted so jit is free to
-            # place it next to the global arrays
-            return leaf
-        from jax.sharding import NamedSharding
-
-        if isinstance(t.sharding, NamedSharding):
-            return jax.device_put(leaf, t.sharding)
-        # template leaf never went through mesh placement (e.g. optimizer
-        # counters created eagerly on the default device): keep it
-        # uncommitted — committing it to one device while params span the
-        # mesh makes jit reject the mixed placement
-        return leaf
-
-    placed = [_place(leaf, t) for leaf, t in zip(leaves, tmpl_flat)]
+    placed = [_place_restored_leaf(leaf, t)
+              for leaf, t in zip(leaves, tmpl_flat)]
     state = jax.tree_util.tree_unflatten(treedef, placed)
-    return state._replace(rng=jax.random.wrap_key_data(jnp.asarray(state.rng)))
+    return state._replace(rng=_wrap_rng(state.rng, path))
 
 
 def train(
@@ -224,6 +201,7 @@ def train(
     consecutively.  Checkpoint/validation intervals fire on crossing
     (within K-1 steps of the exact multiple)."""
     exp_dir = pathlib.Path(exp_dir)
+    K = max(int(steps_per_dispatch), 1)
     is_main = jax.process_index() == 0
     if is_main:
         (exp_dir / "ckpts").mkdir(parents=True, exist_ok=True)
@@ -301,17 +279,22 @@ def train(
             if restored is None:
                 raise FileNotFoundError(f"no checkpoints under {resume}")
             state, resume_pos = restored
+            from .checkpointing import check_steps_per_dispatch
+
+            check_steps_per_dispatch(mgr.restored_meta, resume, K)
             if mgr is not ckpt_mgr:
                 mgr.close()
         else:
-            from .checkpointing import check_rng_impl
+            from .checkpointing import check_rng_impl, check_steps_per_dispatch
 
             resume_pos = load_train_position(resume)
             # guard BEFORE loading: the recorded PRNG impl generates every
             # dropout mask / gate noise draw of the trained trajectory,
             # and a mismatched impl would fail in load_train_state with a
             # key-shape error instead of this message
-            check_rng_impl(load_train_meta(resume), resume)
+            meta = load_train_meta(resume)
+            check_rng_impl(meta, resume)
+            check_steps_per_dispatch(meta, resume, K)
             state = load_train_state(resume, state)
         print(f"[train] resumed from {resume} at step {int(state.step)} "
               f"(epoch {resume_pos[0]}, batch {resume_pos[1]})")
@@ -362,7 +345,6 @@ def train(
         prev_handler = None
 
     step_fn = make_train_step(teacher, student, cfg, tx)
-    K = max(int(steps_per_dispatch), 1)
     multi_fn = (make_train_step(teacher, student, cfg, tx, steps_per_call=K)
                 if K > 1 else None)
     eval_fn = make_eval_step(teacher, student, cfg) if valid_loader else None
@@ -392,12 +374,14 @@ def train(
                 # async; all processes participate
                 ckpt_mgr.save(step, state, epoch=epoch,
                               batch_in_epoch=batch_in_epoch,
-                              rng_impl=_current_rng_impl())
+                              rng_impl=_current_rng_impl(),
+                              steps_per_dispatch=K)
                 last_saved["step"] = step
         elif is_main:
             save_train_state(exp_dir / "ckpts" / "last.npz", state,
                              epoch=epoch, batch_in_epoch=batch_in_epoch,
-                             meta={"rng_impl": _current_rng_impl()})
+                             meta={"rng_impl": _current_rng_impl(),
+                                   "steps_per_dispatch": K})
 
     stacked_bsh = stacked_batch_sharding(mesh) if mesh is not None else None
 

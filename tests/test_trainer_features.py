@@ -178,6 +178,48 @@ def test_steps_per_dispatch_resume_positions(tmp_path):
     assert int(state.step) == 6
 
 
+def test_steps_per_dispatch_resume_mismatch_refused(tmp_path):
+    """The batcher's run-of-K grouping reorders the deterministic epoch
+    stream, so resuming under a different K would silently skip/duplicate
+    batches — the checkpoint records K and a mismatch fails loudly."""
+    t, tp, s, sp = _models()
+    train(teacher=t, teacher_params=tp, student=s, student_params=sp,
+          cfg=_cfg(), loader=FakeLoader(), exp_dir=tmp_path,
+          log_interval=100, ckpt_interval=100, steps_per_dispatch=2,
+          stop_at_step=3)
+    ckpt = tmp_path / "ckpts" / "last.npz"
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
+        train(teacher=t, teacher_params=tp, student=s, student_params=sp,
+              cfg=_cfg(), loader=FakeLoader(), exp_dir=tmp_path,
+              log_interval=100, ckpt_interval=100, resume=str(ckpt))
+
+
+def test_pre_metadata_checkpoint_wrong_impl_fails_helpfully(tmp_path):
+    """A pre-metadata checkpoint (no recorded rng_impl) resumed under a
+    different PRNG impl cannot be caught by the recorded-impl guard — but
+    the rng key-shape mismatch must surface as a helpful --rng_impl
+    message, not a bare shape error."""
+    from dphubert_tpu.train.trainer import save_train_state
+    from dphubert_tpu.train.distill_module import init_train_state
+
+    t, tp, s, sp = _models()
+    state, _ = init_train_state(student=s, student_params=sp, cfg=_cfg(),
+                                teacher_embed_dim=t.spec.embed_dim,
+                                rng=jax.random.key(0))
+    ckpt = tmp_path / "old.npz"
+    save_train_state(ckpt, state)  # meta=None: the pre-metadata format
+
+    prev = str(jax.config.jax_default_prng_impl)
+    jax.config.update("jax_default_prng_impl", "rbg")
+    try:
+        with pytest.raises(ValueError, match="--rng_impl"):
+            train(teacher=t, teacher_params=tp, student=s, student_params=sp,
+                  cfg=_cfg(), loader=FakeLoader(), exp_dir=tmp_path,
+                  log_interval=100, ckpt_interval=100, resume=str(ckpt))
+    finally:
+        jax.config.update("jax_default_prng_impl", prev)
+
+
 def test_memory_budget_prefers_cgroup_limit(tmp_path, monkeypatch):
     """In a container the OOM killer fires at the cgroup limit, not host
     RAM — the watchdog default must use the smaller of the two."""

@@ -122,14 +122,13 @@ def main():
     state, m = step_fn(state, teacher_params, batch)
     float(m["loss"])
 
-    # Sustained-run methodology (primary): one long run of
-    # DPHUBERT_BENCH_STEPS steps (default 400), timed as consecutive
-    # 50-step segments with a concrete value fetch fencing each segment.
-    # The reported value is the MEDIAN segment rate — sustained like a real
-    # training run, robust to the shared tunnel's ambient 2-3x blips (the
-    # full distribution rides in detail; an 8k-step training run sustained
-    # 0.1975 s/step at this batch, which best-of-chains over-reports and
-    # single short chains under-report).
+    # Sustained-run methodology: one long run of DPHUBERT_BENCH_STEPS
+    # steps (default 400), timed as consecutive 50-step segments with a
+    # concrete value fetch fencing each segment; the reported value is the
+    # MEDIAN segment rate.  On a device-resident batch the distribution is
+    # flat (0.184 s/step across all segments, r4) — earlier spread traced
+    # to the numpy batch's per-dispatch re-upload contending with ambient
+    # tunnel load, not to the compute.
     n_steps = int(os.environ.get("DPHUBERT_BENCH_STEPS", "400"))
     seg = 50
     times = []

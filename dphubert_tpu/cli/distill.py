@@ -67,6 +67,15 @@ def add_common_training_args(parser: ArgumentParser) -> None:
     parser.add_argument("--remat", action="store_true",
                         help="Per-layer activation checkpointing (larger "
                         "batches at ~30%% extra student FLOPs).")
+    parser.add_argument("--scan_layers", action="store_true",
+                        help="lax.scan over uniform encoder layers: one "
+                        "compiled layer body instead of N unrolled copies. "
+                        "Required (with --remat) for the 24-layer Large "
+                        "family, whose unrolled backward exceeds the "
+                        "compile-server whole-graph limits. Heterogeneous "
+                        "pruned students automatically fall back to the "
+                        "unrolled path; the flag then still applies to the "
+                        "uniform teacher.")
     parser.add_argument("--teacher_ckpt", type=pathlib.Path, required=True)
     parser.add_argument("--student_ckpt", type=pathlib.Path, required=True)
     parser.add_argument("--distill_layers", default="0.4,8,12", type=str)
@@ -86,7 +95,12 @@ def add_common_training_args(parser: ArgumentParser) -> None:
                         "explicit-key determinism within an impl. The impl "
                         "is recorded in training checkpoints; a resume "
                         "under a different impl fails loudly instead of "
-                        "silently changing the mask stream.")
+                        "silently changing the mask stream. Caveat: JAX "
+                        "documents rbg bits as NOT guaranteed stable across "
+                        "XLA/libtpu versions, so a runtime upgrade mid-run "
+                        "can change the mask stream while passing that "
+                        "guard — use threefry2x32 for runs that must be "
+                        "bit-reproducible across environment upgrades.")
     parser.add_argument("--steps_per_dispatch", default=1, type=int,
                         help="Stack K consecutive same-shape batches into "
                         "one jitted multi-step dispatch (lax.scan): one "
@@ -156,6 +170,7 @@ def run_train(args, use_reg: bool = True):
         sparsity_warmup_updates=getattr(args, "sparsity_warmup_updates", 1),
         compute_dtype="bfloat16" if args.precision == "bf16" else "float32",
         remat=getattr(args, "remat", False),
+        scan_layers=getattr(args, "scan_layers", False),
         accum_grad=args.accum_grad,
     )
 

@@ -22,6 +22,8 @@ pytree.
 from __future__ import annotations
 
 import pathlib
+import queue
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -39,9 +41,26 @@ _RNG_IMPL_CODES = {"threefry2x32": 0, "rbg": 1, "unsafe_rbg": 2}
 _RNG_IMPL_NAMES = {v: k for k, v in _RNG_IMPL_CODES.items()}
 
 
+def rng_as_data(rng):
+    """Typed PRNG key -> raw key-data array; raw key data passes through
+    (checkpoint trees carry keys as plain uint32 arrays, and snapshot /
+    host-gathered states arrive with the conversion already applied)."""
+    dtype = getattr(rng, "dtype", None)
+    if dtype is not None and jax.dtypes.issubdtype(dtype, jax.dtypes.prng_key):
+        return jax.random.key_data(rng)
+    return rng
+
+
 def _to_pytree(state: TrainState, epoch: int = 0, batch_in_epoch: int = 0,
                rng_impl: str = "threefry2x32", steps_per_dispatch: int = 1):
-    tree = state._replace(rng=jax.random.key_data(state.rng))._asdict()
+    if rng_impl not in _RNG_IMPL_CODES:
+        # an un-encodable impl would decode to None and silently disarm the
+        # resume guard — refuse at save time instead
+        raise ValueError(
+            f"cannot encode rng_impl {rng_impl!r} into the checkpoint "
+            f"(known: {sorted(_RNG_IMPL_CODES)}); extend _RNG_IMPL_CODES"
+        )
+    tree = state._replace(rng=rng_as_data(state.rng))._asdict()
     # deterministic-batcher position: lets resume skip already-consumed
     # batches so the sample stream matches an uninterrupted run
     tree["data_pos"] = {
@@ -79,13 +98,16 @@ def check_steps_per_dispatch(meta: dict, source, configured: int) -> None:
     run was checkpointed with: the batcher's run-of-K grouping reorders
     the deterministic epoch stream, so skipping ``batch_in_epoch`` batches
     of a *differently ordered* epoch trains some batches twice and others
-    never.  Pre-metadata checkpoints carry no record and pass."""
-    recorded = meta.get("steps_per_dispatch")
-    if recorded is not None and int(recorded) != int(configured):
+    never.  Checkpoints that predate this metadata were all written by
+    K=1 trainers, so a missing record is treated as 1 — resuming one
+    under K>1 fails loudly instead of silently training a reordered
+    epoch."""
+    recorded = int(meta.get("steps_per_dispatch", 1))
+    if recorded != int(configured):
         raise ValueError(
             f"checkpoint {source} was trained with "
-            f"steps_per_dispatch={int(recorded)} but this run configures "
-            f"{int(configured)}; pass --steps_per_dispatch {int(recorded)}"
+            f"steps_per_dispatch={recorded} but this run configures "
+            f"{int(configured)}; pass --steps_per_dispatch {recorded}"
         )
 
 
@@ -208,10 +230,14 @@ class AsyncCheckpointer:
 
         Older checkpoint formats are handled by trying a template per
         format generation — current, then each metadata key stripped in
-        reverse-introduction order, then no data_pos at all — and finally
-        an untemplated raw restore (e.g. when the stored rng key data has
-        a different PRNG impl's shape, so no template matches and
-        ``_from_pytree`` can surface the clean impl-mismatch error)."""
+        reverse-introduction order, then no data_pos at all.  If every
+        templated restore fails, an untemplated raw restore runs ONLY to
+        surface a clean rng-impl-mismatch diagnostic (a mismatched impl's
+        key data has a different shape, so no template can match); when
+        the raw metadata shows no mismatch the last templated error was
+        the real problem and is re-raised — the raw tree itself is never
+        returned (it has no sharding placement and a plain-dict opt_state,
+        which would crash confusingly at the first optimizer update)."""
         full = _to_pytree(template)
         candidates = [full]
         pos_keys = dict(full["data_pos"])
@@ -221,6 +247,7 @@ class AsyncCheckpointer:
         candidates.append({k: v for k, v in full.items() if k != "data_pos"})
 
         tree = None
+        last_exc: Optional[Exception] = None
         for tmpl in candidates:
             try:
                 tree = self.manager.restore(
@@ -228,10 +255,17 @@ class AsyncCheckpointer:
                 )
                 tree = jax.tree.map(_place_restored_leaf, tree, tmpl)
                 break
-            except (KeyError, ValueError):
+            except (KeyError, ValueError) as e:
+                last_exc = e
                 continue
         if tree is None:
-            tree = self.manager.restore(int(step))
+            raw = self.manager.restore(int(step))
+            pos = raw.get("data_pos") if isinstance(raw, dict) else None
+            meta = {}
+            if pos is not None and "rng_impl" in pos:
+                meta["rng_impl"] = _RNG_IMPL_NAMES.get(int(pos["rng_impl"]))
+            check_rng_impl(meta, self.directory)  # the clean diagnostic
+            raise last_exc  # no impl mismatch: surface the templated error
         state, pos, self.restored_meta = _from_pytree(
             tree, source=self.directory
         )
@@ -250,3 +284,109 @@ class AsyncCheckpointer:
     def close(self) -> None:
         self.wait()
         self.manager.close()
+
+
+def _forced_copy(x):
+    """A copy op XLA cannot elide into parameter forwarding: bitcast to the
+    matching integer type, add an optimization-barrier-hidden zero, bitcast
+    back — bit-exact for every dtype (a plain ``x + 0.0`` would canonicalize
+    -0.0, and a bare identity/``jnp.copy`` may alias the input buffer, which
+    the next train step then clobbers via donation)."""
+    if not isinstance(x, jax.Array) and not hasattr(x, "dtype"):
+        return x
+    dtype = jnp.asarray(x).dtype if not hasattr(x, "dtype") else x.dtype
+    if jnp.issubdtype(dtype, jnp.integer) or dtype == jnp.bool_:
+        bits, back = x.astype(jnp.int32) if dtype == jnp.bool_ else x, dtype
+        out = bits + jax.lax.optimization_barrier(
+            jnp.zeros((), bits.dtype if hasattr(bits, "dtype") else jnp.int32))
+        return out.astype(back) if dtype == jnp.bool_ else out
+    itemsize = jnp.dtype(dtype).itemsize
+    uint = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32, 8: jnp.uint64}[itemsize]
+    bits = jax.lax.bitcast_convert_type(x, uint)
+    bits = bits + jax.lax.optimization_barrier(jnp.zeros((), uint))
+    return jax.lax.bitcast_convert_type(bits, dtype)
+
+
+_snapshot_fn = None
+
+
+def device_snapshot(state: TrainState) -> TrainState:
+    """On-device copy of the full train state (rng carried as raw key
+    data): ONE jitted dispatch whose output buffers never alias the
+    inputs, so the snapshot stays valid while subsequent train steps
+    donate-and-overwrite ``state``.  Cost is one HBM read+write pass
+    (~milliseconds at GB scale) instead of the multi-second device->host
+    gather — the gather moves to a background thread
+    (:class:`BackgroundSaver`)."""
+    global _snapshot_fn
+    if _snapshot_fn is None:
+        _snapshot_fn = jax.jit(
+            lambda tree: jax.tree.map(_forced_copy, tree))
+    return _snapshot_fn(state._replace(rng=rng_as_data(state.rng)))
+
+
+class BackgroundSaver:
+    """Takes the checkpoint device->host gather off the training step path.
+
+    ``submit(state, **kw)`` dispatches the device-side snapshot copy (one
+    jitted launch) and returns immediately; a worker thread gathers the
+    snapshot to host — concurrent with the training dispatches that follow
+    — and hands the host pytree to ``save_fn(host_state, **kw)``.  One
+    save is in flight at a time: a submit while the previous write is
+    still running blocks until it lands (graceful fallback to the old
+    synchronous behavior if checkpoints ever outpace the writer), which
+    also bounds the snapshot HBM overhead to one extra train state.
+
+    Worker exceptions are re-raised at the next ``submit``/``close`` so a
+    failed checkpoint write cannot pass silently."""
+
+    def __init__(self, save_fn):
+        self._save_fn = save_fn
+        self._q: queue.Queue = queue.Queue()
+        self._slot = threading.Semaphore(1)
+        self._exc: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._worker, daemon=True, name="ckpt-saver")
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            snap, kwargs = item
+            try:
+                # start every fully-addressable leaf's D2H DMA before the
+                # first blocking asarray so the transfers overlap
+                for leaf in jax.tree.leaves(snap):
+                    if (isinstance(leaf, jax.Array)
+                            and leaf.sharding.is_fully_addressable):
+                        leaf.copy_to_host_async()
+                host = jax.tree.map(_as_host, snap)
+                del snap, item
+                self._save_fn(host, **kwargs)
+            except BaseException as e:  # noqa: BLE001 — re-raised on main
+                self._exc = e
+            finally:
+                self._slot.release()
+
+    def _check(self):
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise RuntimeError("background checkpoint save failed") from exc
+
+    def submit(self, state: TrainState, **kwargs) -> None:
+        self._slot.acquire()  # wait out an in-flight save, if any
+        try:
+            self._check()
+            snap = device_snapshot(state)
+        except BaseException:
+            self._slot.release()
+            raise
+        self._q.put((snap, kwargs))
+
+    def close(self) -> None:
+        self._slot.acquire()  # drain the in-flight save
+        self._q.put(None)
+        self._thread.join()
+        self._check()

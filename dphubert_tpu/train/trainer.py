@@ -88,9 +88,11 @@ def save_train_state(path, state: TrainState, *, epoch: int = 0,
     distill.py:141-144,180-185).  ``meta`` records static training config a
     resume must not silently change (e.g. ``rng_impl`` — the PRNG behind
     every dropout mask and gate-noise draw)."""
+    from .checkpointing import rng_as_data
+
     flat = {}
     leaves, treedef = jax.tree_util.tree_flatten(
-        state._replace(rng=jax.random.key_data(state.rng))
+        state._replace(rng=rng_as_data(state.rng))
     )
     for i, leaf in enumerate(leaves):
         flat[f"leaf_{i}"] = np.asarray(leaf)
@@ -368,20 +370,43 @@ def train(
         if existing is not None:
             last_saved["step"] = existing
 
-    def _checkpoint():
+    def _write_ckpt(ckpt_state, *, step, epoch, batch_in_epoch):
+        """Backend write; ``ckpt_state`` may hold device arrays (sync path)
+        or an already-host-gathered snapshot (background path)."""
         if ckpt_mgr is not None:
-            if step != last_saved["step"]:
-                # async; all processes participate
-                ckpt_mgr.save(step, state, epoch=epoch,
-                              batch_in_epoch=batch_in_epoch,
-                              rng_impl=_current_rng_impl(),
-                              steps_per_dispatch=K)
-                last_saved["step"] = step
-        elif is_main:
-            save_train_state(exp_dir / "ckpts" / "last.npz", state,
+            ckpt_mgr.save(step, ckpt_state, epoch=epoch,
+                          batch_in_epoch=batch_in_epoch,
+                          rng_impl=_current_rng_impl(),
+                          steps_per_dispatch=K)
+        else:
+            save_train_state(exp_dir / "ckpts" / "last.npz", ckpt_state,
                              epoch=epoch, batch_in_epoch=batch_in_epoch,
                              meta={"rng_impl": _current_rng_impl(),
                                    "steps_per_dispatch": K})
+
+    # background gather: the device->host copy of the full train state
+    # (~1 GB at HuBERT-Base scale, 20-50 s through a remote link — r4
+    # measured 655 ms/step across the npz crossing window vs 154 clean)
+    # moves off the step path: _checkpoint() dispatches a device-side
+    # snapshot copy (~ms) and a worker thread gathers + writes while
+    # stepping continues.  DPHUBERT_SYNC_CKPT=1 restores the old
+    # synchronous behavior (escape hatch).
+    participates = (ckpt_mgr is not None) or is_main
+    saver = None
+    if participates and os.environ.get("DPHUBERT_SYNC_CKPT") != "1":
+        from .checkpointing import BackgroundSaver
+
+        saver = BackgroundSaver(_write_ckpt)
+
+    def _checkpoint():
+        if not participates or step == last_saved["step"]:
+            return
+        last_saved["step"] = step
+        kw = dict(step=step, epoch=epoch, batch_in_epoch=batch_in_epoch)
+        if saver is not None:
+            saver.submit(state, **kw)
+        else:
+            _write_ckpt(state, **kw)
 
     stacked_bsh = stacked_batch_sharding(mesh) if mesh is not None else None
 
@@ -507,6 +532,8 @@ def train(
                         bsh, step)
 
     _checkpoint()
+    if saver is not None:
+        saver.close()  # drain the background gather + write
     if ckpt_mgr is not None:
         ckpt_mgr.close()  # drain pending async writes
     if prev_handler is not None:
@@ -598,7 +625,11 @@ def _run_validation(eval_fn, state, teacher_params, student, valid_loader, bsh, 
             gshape = (wave.shape[0] * jax.process_count(),) + wave.shape[1:]
             wave = global_batch_from_local(bsh, wave, gshape)
         m = eval_fn(state, teacher_params, (wave, lengths), gates)
-        losses.append(float(m["loss"]))
+        # keep the per-batch loss on device: a float() here would force a
+        # device->host round trip per validation batch (a full link RTT
+        # each through a remote tunnel) — fetch everything once below
+        losses.append(m["loss"])
+    losses = [float(v) for v in jax.device_get(losses)]
     if jax.process_index() == 0:
         if losses:
             print(f"[valid] step={step} loss={np.mean(losses):.4f} "

@@ -24,17 +24,26 @@ seconds_per_batch=${SECONDS_PER_BATCH:-160}   # per chip
 clip_norm=10
 
 # TPU runtime knobs (not part of the published recipe)
-ckpt_backend=${CKPT_BACKEND:-orbax}           # async rotated ckpts: ~25s/ckpt vs npz ~50s (r4 measured); npz = sync last-only
-rng_impl=${RNG_IMPL:-rbg}                     # TPU hardware PRNG: 6% faster steps (r4 profile)
+ckpt_backend=${CKPT_BACKEND:-orbax}           # async rotated ckpts + background device->host gather; npz = last-only
+rng_impl=${RNG_IMPL:-rbg}                     # TPU hardware PRNG: 6% faster steps (r4 profile); see --rng_impl help for the cross-upgrade bit-stability caveat
 steps_per_dispatch=${STEPS_PER_DISPATCH:-4}   # K batches per jitted dispatch: ~13% faster steps (r4 CLI A/B)
 num_shapes=${NUM_SHAPES:-12}                  # static length-bucket ladder
 log_interval=${LOG_INTERVAL:-50}
 ckpt_interval=${CKPT_INTERVAL:-1000}
 
+# Large-family knobs: the 24-layer unrolled backward exceeds the
+# compile-server whole-graph limits — run_large.sh sets both to 1
+# (bench.py:84-92: Large only compiles with remat + scan_layers).
+extra_flags=()
+[ "${REMAT:-0}" = 1 ] && extra_flags+=(--remat)
+[ "${SCAN_LAYERS:-0}" = 1 ] && extra_flags+=(--scan_layers)
+
 pruning_units="conv,head,interm"
 reg_learning_rate=0.02
 target_sparsity=${TARGET_SPARSITY:-0.75}
-sparsity_warmup_updates=5000
+# overridable so scaled-budget validation runs (reduced MAX_UPDATES) can
+# keep the warmup a proportional fraction of the schedule
+sparsity_warmup_updates=${SPARSITY_WARMUP_UPDATES:-5000}
 
 final_learning_rate=0.0001
 final_warmup_updates=${FINAL_WARMUP_UPDATES:-5000}
@@ -90,7 +99,8 @@ retry_resumable python -m dphubert_tpu.cli.distill \
   --ckpt_backend "$ckpt_backend" --num_shapes "$num_shapes" \
   --log_interval "$log_interval" --ckpt_interval "$ckpt_interval" \
   --precision bf16 --rng_impl "$rng_impl" \
-  --steps_per_dispatch "$steps_per_dispatch" 2>&1 | tee -a "$root_dir/stage1.log" || exit 1
+  --steps_per_dispatch "$steps_per_dispatch" \
+  ${extra_flags[@]+"${extra_flags[@]}"} 2>&1 | tee -a "$root_dir/stage1.log" || exit 1
 
 echo "[run.sh] $(date -Is) stage 1.5 (prune) start"
 # ---- stage 1.5: mask surgery ----
@@ -116,7 +126,8 @@ retry_resumable python -m dphubert_tpu.cli.final_distill \
   --ckpt_backend "$ckpt_backend" --num_shapes "$num_shapes" \
   --log_interval "$log_interval" --ckpt_interval "$ckpt_interval" \
   --precision bf16 --rng_impl "$rng_impl" \
-  --steps_per_dispatch "$steps_per_dispatch" 2>&1 | tee -a "$root_dir/stage2.log" || exit 1
+  --steps_per_dispatch "$steps_per_dispatch" \
+  ${extra_flags[@]+"${extra_flags[@]}"} 2>&1 | tee -a "$root_dir/stage2.log" || exit 1
 
 echo "[run.sh] $(date -Is) stage 3 (save_final_ckpt) start"
 # ---- stage 3: merge + export the portable checkpoint ----

@@ -83,6 +83,107 @@ def test_orbax_rng_impl_mismatch_refused(tmp_path):
         mgr.close()
 
 
+def test_device_snapshot_survives_donation():
+    """The background checkpointer's device snapshot must be a REAL copy:
+    after the original state is donated into (and overwritten by) further
+    train steps, the snapshot still reads back the values it captured —
+    a buffer-aliasing 'copy' (identity/param-forwarding) would be
+    clobbered by the donation."""
+    import jax.numpy as jnp
+
+    from dphubert_tpu.train.checkpointing import device_snapshot
+
+    state = _make_state(0)
+    before = [np.array(x) for x in jax.tree.leaves(
+        state._replace(rng=jax.random.key_data(state.rng)))]
+    snap = device_snapshot(state)
+
+    bump = jax.jit(
+        lambda t: jax.tree.map(
+            lambda a: a + jnp.ones((), a.dtype) if jnp.issubdtype(
+                a.dtype, jnp.number) else a, t),
+        donate_argnums=0,
+    )
+    mutated = bump(state._replace(rng=jax.random.key_data(state.rng)))
+    jax.block_until_ready(mutated)
+
+    after = [np.array(x) for x in jax.tree.leaves(snap)]
+    assert len(before) == len(after)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_background_saver_captures_submit_time_state(tmp_path):
+    """BackgroundSaver.submit returns before the device->host gather; the
+    host tree handed to save_fn must still be the state AT SUBMIT TIME,
+    bitwise, even though training keeps donating/overwriting the live
+    state afterwards — and worker exceptions surface at close()."""
+    import jax.numpy as jnp
+
+    from dphubert_tpu.train.checkpointing import BackgroundSaver
+
+    recorded = {}
+
+    def save_fn(host_state, *, step):
+        recorded[step] = [np.array(x) for x in jax.tree.leaves(host_state)]
+
+    bump = jax.jit(
+        lambda t: jax.tree.map(
+            lambda a: a + jnp.ones((), a.dtype) if jnp.issubdtype(
+                a.dtype, jnp.number) else a, t),
+        donate_argnums=0,
+    )
+
+    state = _make_state(0)
+    expected = {}
+    saver = BackgroundSaver(save_fn)
+    for s in (1, 2):
+        expected[s] = [np.array(x) for x in jax.tree.leaves(
+            state._replace(rng=jax.random.key_data(state.rng)))]
+        saver.submit(state, step=s)
+        raw = bump(state._replace(rng=jax.random.key_data(state.rng)))
+        state = state._replace(
+            **{k: v for k, v in raw._asdict().items() if k != "rng"},
+            rng=jax.random.wrap_key_data(raw.rng),
+        )
+    saver.close()
+
+    assert sorted(recorded) == [1, 2]
+    for s in (1, 2):
+        assert len(recorded[s]) == len(expected[s])
+        for a, b in zip(expected[s], recorded[s]):
+            np.testing.assert_array_equal(a, b)
+
+    failing = BackgroundSaver(lambda host_state, **kw: 1 / 0)
+    failing.submit(_make_state(1), step=7)
+    with pytest.raises(RuntimeError, match="background checkpoint save"):
+        failing.close()
+
+
+def test_steps_per_dispatch_missing_metadata_treated_as_one():
+    """Pre-metadata checkpoints were all written by K=1 trainers: resuming
+    one under K>1 must fail loudly (the batcher's run-of-K grouping
+    reorders the epoch stream), while K=1 passes."""
+    from dphubert_tpu.train.checkpointing import check_steps_per_dispatch
+
+    check_steps_per_dispatch({}, "old.npz", 1)  # ok
+    with pytest.raises(ValueError, match="steps_per_dispatch=1"):
+        check_steps_per_dispatch({}, "old.npz", 4)
+
+
+def test_unknown_rng_impl_refused_at_save_time(tmp_path):
+    """An impl outside the known code table must fail at SAVE time — it
+    would otherwise encode as -1, decode to None, and silently disarm the
+    resume guard."""
+    state = _make_state(0)
+    mgr = AsyncCheckpointer(tmp_path / "ck", keep=1)
+    try:
+        with pytest.raises(ValueError, match="rng_impl"):
+            mgr.save(1, state, rng_impl="some_future_impl")
+    finally:
+        mgr.close()
+
+
 def test_trainer_orbax_preempt_resume_exact(tmp_path):
     """Preemption-style resume: SIGTERM after 2 steps checkpoints through
     the orbax backend; resuming from the directory under the SAME config

@@ -49,7 +49,11 @@ def test_train_step_8_device_mesh():
 def test_trainer_steps_per_dispatch_on_mesh(tmp_path):
     """steps_per_dispatch=2 through train() on the 8-device mesh: the
     (K, B, T) stack shards its *batch* axis (axis 1) over data while the
-    scanned steps axis stays unsharded, and training completes."""
+    scanned steps axis stays unsharded, and training completes.
+
+    max_updates=5 is deliberately NOT a multiple of K: the tail dispatch
+    must step device-side slices ``wave[j]`` of the P(None, 'data')-sharded
+    stack (the overshoot path, trainer.py) so the run stops exactly at 5."""
     from dphubert_tpu.train.trainer import train
 
     mesh = create_mesh(n_data=8)
@@ -69,11 +73,11 @@ def test_trainer_steps_per_dispatch_on_mesh(tmp_path):
         teacher=teacher, teacher_params=teacher.init(jax.random.key(0)),
         student=student, student_params=student.init(jax.random.key(1)),
         cfg=DistillConfig(use_reg=False, distill_layer_groups=((0,), (1, 3)),
-                          warmup_updates=2, max_updates=4),
+                          warmup_updates=2, max_updates=5),
         loader=FakeLoader(), exp_dir=tmp_path, mesh=mesh,
         log_interval=100, ckpt_interval=100, steps_per_dispatch=2,
     )
-    assert int(state.step) == 4
+    assert int(state.step) == 5
     leaf = jax.tree.leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
 

@@ -197,6 +197,7 @@ def run_train(args, use_reg: bool = True):
 
     proj_sd = student_ckpt.get("distill_linear_projs") if not use_reg else None
 
+    stop_info: dict = {}
     state = train(
         teacher=teacher,
         teacher_params=teacher_params,
@@ -218,13 +219,22 @@ def run_train(args, use_reg: bool = True):
         fsdp=args.fsdp,
         val_interval=getattr(args, "val_interval", 0) or None,
         steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
+        stop_info=stop_info,
     )
 
     # A SIGTERM/watchdog-preempted run checkpoints and returns early; exit
     # with EX_TEMPFAIL *before* exporting, so no partial stage artifact
     # lands at the stage-output path (and no 94M-param host gather runs)
     # between retries — resume with --resume_checkpoint <exp_dir>/ckpts/....
+    # A wall-clock deadline stop (DPHUBERT_DEADLINE_TS) exits 76 instead:
+    # the checkpoint is equally resumable, but the recipe driver must NOT
+    # auto-resume into the same expired deadline.
     accum = max(cfg.accum_grad, 1)
+    if stop_info.get("why") == "deadline":
+        print(f"[distill] wall-clock deadline at step {int(state.step)} "
+              f"(< {args.max_updates} updates): exiting 76 (checkpointed; "
+              "resume later with --resume_checkpoint)")
+        raise SystemExit(76)
     if int(state.step) < args.max_updates * accum:
         print(f"[distill] preempted at step {int(state.step)} "
               f"(< {args.max_updates} updates): exiting 75 (resumable)")

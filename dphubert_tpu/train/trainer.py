@@ -189,6 +189,7 @@ def train(
     stop_at_step: Optional[int] = None,
     val_interval: Optional[int] = None,
     steps_per_dispatch: int = 1,
+    stop_info: Optional[dict] = None,
 ) -> TrainState:
     """Run stage-1 (use_reg) or stage-2 (final distill) training to
     ``cfg.max_updates``; returns the final state.
@@ -320,6 +321,16 @@ def train(
         rss_limit = int(float(rss_limit) * 1e9)
     else:
         rss_limit = int(_memory_budget_bytes() * 0.85)
+
+    # wall-clock deadline: DPHUBERT_DEADLINE_TS (unix seconds) converts a
+    # hard end-of-session time into a clean checkpoint-and-stop — e.g. a
+    # time-boxed chip reservation where an overrunning stage would be
+    # killed mid-step (losing the since-last-checkpoint progress) or
+    # collide with the next reservation's client.  The CLIs exit 76 on
+    # this reason (vs 75 for preemption), so run.sh aborts the recipe
+    # instead of resuming into the same deadline; resume later with
+    # --resume_checkpoint.  0/unset disables.
+    deadline_ts = float(os.environ.get("DPHUBERT_DEADLINE_TS", 0) or 0)
 
     stop_reason = {"why": None}
 
@@ -498,6 +509,8 @@ def train(
                 stop_reason["why"] = "stop_at_step"
             elif _rss_exceeded(step):
                 stop_reason["why"] = "rss watchdog"
+            elif deadline_ts and time.time() >= deadline_ts:
+                stop_reason["why"] = "deadline"
             if stop_reason["why"]:
                 _checkpoint()
                 print(f"[train] preempted ({stop_reason['why']}): "
@@ -538,6 +551,8 @@ def train(
         ckpt_mgr.close()  # drain pending async writes
     if prev_handler is not None:
         signal.signal(signal.SIGTERM, prev_handler)
+    if stop_info is not None:
+        stop_info["why"] = stop_reason["why"]
     return state
 
 

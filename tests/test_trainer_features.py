@@ -86,6 +86,38 @@ def test_preempted_run_skips_validation_and_names_reason(tmp_path, capsys):
     assert "preempted (stop_at_step)" in out, out
 
 
+def test_deadline_stop_checkpoints_and_reports(tmp_path, capsys, monkeypatch):
+    """DPHUBERT_DEADLINE_TS in the past stops the run at the first step
+    boundary with a checkpoint, names the reason, and surfaces
+    why='deadline' through stop_info (the CLIs exit 76 on it so the recipe
+    driver aborts instead of auto-resuming into the expired deadline)."""
+    monkeypatch.setenv("DPHUBERT_DEADLINE_TS", "1")  # 1970: always expired
+    t, tp, s, sp = _models()
+    stop_info: dict = {}
+    state = train(teacher=t, teacher_params=tp, student=s, student_params=sp,
+                  cfg=_cfg(), loader=FakeLoader(),
+                  valid_loader=FakeLoader(n_batches=2),
+                  exp_dir=tmp_path, log_interval=100, ckpt_interval=100,
+                  stop_info=stop_info)
+    out = capsys.readouterr().out
+    assert "preempted (deadline)" in out, out
+    assert "[valid]" not in out, out  # preempted runs skip final validation
+    assert stop_info["why"] == "deadline"
+    assert int(state.step) == 1
+    assert (tmp_path / "ckpts" / "last.npz").exists()
+
+
+def test_completed_run_reports_no_stop_reason(tmp_path):
+    """A run that reaches max_updates surfaces why=None through stop_info
+    (the CLIs distinguish completion from preemption/deadline by it)."""
+    t, tp, s, sp = _models()
+    stop_info: dict = {}
+    train(teacher=t, teacher_params=tp, student=s, student_params=sp,
+          cfg=_cfg(max_updates=2), loader=FakeLoader(), exp_dir=tmp_path,
+          log_interval=100, ckpt_interval=100, stop_info=stop_info)
+    assert stop_info["why"] is None
+
+
 def test_rng_impl_resume_mismatch_refused(tmp_path):
     """The checkpoint records the global PRNG impl (it generates every
     dropout mask / gate-noise draw); resuming under a different impl must

@@ -22,6 +22,26 @@ Backward: three kernels sharing the flash recompute (p from saved m/l):
             VMEM scratch (batch is the innermost, sequential axis), so the
             bias gradient also never materializes per-batch.
 
+Single-KV-block fast path (production shape: ``block_kv == Lp`` so
+``n_kv == 1``; L<=800 per SURVEY §5 — r5): the general grids re-read the
+(H, L, L) bias from HBM once per *batch element* per kernel (Pallas only
+elides a block refetch when its index is unchanged between consecutive
+grid steps, and b outermost changes the (h,i,j) sweep B times).  With one
+KV block there is no cross-step softmax state, so the batch axis can go
+innermost:
+
+  * fwd      — grid (H, n_q, B): bias tile index (h, i) is constant across
+               the inner b sweep -> fetched once per (h, i), 16x less bias
+               traffic at B=16; single-pass softmax (no m/l carry).
+  * dq+dg+dbias — ONE kernel, grid (H, n_q, B): recomputes s/p/ds once for
+               all three gradients (the general path recomputes the same
+               s and do.v matmuls in two separate kernels), writes dq/dg
+               per step, accumulates dbias over the sequential inner b.
+  * dkv      — grid (H, B, n_q): loads the whole (Lp, block_kv) bias
+               column of head h as one block (index constant across the
+               b x n_q inner sweep) and slices the i-th (block_q, block_kv)
+               tile in-kernel.
+
 Dropout on the probabilities reuses the counter-hash mask of
 ``flash_attention`` (regenerated exactly in every backward kernel).
 """
@@ -37,6 +57,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .flash_attention import LANES, NEG_INF, _ceil_to, _dropout_keep_mask
+
+
+def _single_block_enabled() -> bool:
+    """Escape hatch for the n_kv==1 fast path (fwd + bwd dispatch read the
+    same process-level env, so the VJP pair always agrees)."""
+    import os
+
+    return os.environ.get("DPHUBERT_WAVLM_SINGLE_BLOCK", "1") != "0"
 
 
 def _biased_scores(
@@ -131,6 +159,100 @@ def _fwd_kernel(
         l_out_ref[0, 0] = l_ref[...]
 
 
+def _fwd_single_kernel(
+    lengths_ref,
+    seed_ref,
+    q_ref,  # (1, 1, block_q, D)
+    k_ref,  # (1, 1, block_kv, D)
+    v_ref,  # (1, 1, block_kv, D)
+    bias_ref,  # (1, block_q, block_kv)
+    gate_ref,  # (1, 1, 1, block_q)
+    o_ref,
+    m_out_ref,
+    l_out_ref,
+    *,
+    scale: float,
+    block_kv: int,
+    masked: bool,
+    dropout_rate: float,
+):
+    """n_kv == 1 forward: one-pass softmax, batch innermost so the bias
+    tile (index (h, i), constant in b) is fetched once per (h, i)."""
+    h = pl.program_id(0)
+    q_idx = pl.program_id(1)
+    b = pl.program_id(2)
+
+    # (1, block_q) lane row -> (block_q, 1) sublane column: Mosaic supports
+    # the 2-D transpose but not the equivalent reshape
+    gate_col = gate_ref[0, 0].astype(jnp.float32).T
+    s = _biased_scores(
+        q_ref[0, 0], k_ref[0, 0], scale, bias_ref[0], gate_col,
+        lengths_ref, b, 0, block_kv, masked,
+    )
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    if dropout_rate > 0.0:
+        keep = _dropout_keep_mask(
+            p.shape, 1.0 - dropout_rate, seed_ref[0], b, h,
+            q_idx * p.shape[0], 0,
+        )
+        p = jnp.where(keep, p, 0.0)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    if dropout_rate > 0.0:
+        l_inv = l_inv / (1.0 - dropout_rate)
+    v = v_ref[0, 0]
+    pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (pv * l_inv).astype(o_ref.dtype)
+    m_out_ref[0, 0] = jnp.broadcast_to(m, m_out_ref.shape[2:])
+    l_out_ref[0, 0] = jnp.broadcast_to(l, l_out_ref.shape[2:])
+
+
+def _fwd_single(q, k, v, bias, gate, lengths, seed, scale, block_q, block_kv,
+                interpret, dropout_rate, masked):
+    B, H, L, D = q.shape
+    n_q = L // block_q
+
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_single_kernel,
+            scale=scale,
+            block_kv=block_kv,
+            masked=masked,
+            dropout_rate=dropout_rate,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(H, n_q, B),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda h, i, b, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_kv, D), lambda h, i, b, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, block_kv, D), lambda h, i, b, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, block_q, block_kv), lambda h, i, b, *_: (h, i, 0)),
+                pl.BlockSpec((1, 1, 1, block_q), lambda h, i, b, *_: (b, h, 0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda h, i, b, *_: (b, h, i, 0)),
+                pl.BlockSpec(
+                    (1, 1, block_q, LANES), lambda h, i, b, *_: (b, h, i, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_q, LANES), lambda h, i, b, *_: (b, h, i, 0)
+                ),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, L, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, L, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lengths, seed, q, k, v, bias, gate[:, :, None, :])
+
+
 def _fwd(q, k, v, bias, gate, lengths, seed, scale, block_q, block_kv,
          interpret, dropout_rate):
     B, H, L, D = q.shape
@@ -139,6 +261,9 @@ def _fwd(q, k, v, bias, gate, lengths, seed, scale, block_q, block_kv,
     masked = lengths is not None
     if lengths is None:
         lengths = jnp.full((B,), L, jnp.int32)
+    if n_kv == 1 and _single_block_enabled():
+        return _fwd_single(q, k, v, bias, gate, lengths, seed, scale,
+                           block_q, block_kv, interpret, dropout_rate, masked)
 
     out, m, l = pl.pallas_call(
         functools.partial(
@@ -366,6 +491,218 @@ def _bwd_dbias_kernel(
         dbias_ref[0] = db_acc[...].astype(dbias_ref.dtype)
 
 
+def _bwd_fused_single_kernel(
+    lengths_ref, seed_ref,
+    q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref, m_ref, l_ref, di_ref,
+    dq_ref, dg_ref, dbias_ref, db_acc,
+    *, scale, block_q, block_kv, n_b, masked, dropout_rate,
+):
+    """n_kv == 1 fused dq + dgate + dbias: grid (H, n_q, B), batch
+    innermost/sequential.  One s/p/ds recompute serves all three gradients
+    (the general path runs it twice, in _bwd_dq_kernel and
+    _bwd_dbias_kernel), and the bias tile index (h, i) is constant across
+    the inner b sweep so Pallas fetches it once per (h, i)."""
+    h = pl.program_id(0)
+    q_idx = pl.program_id(1)
+    b = pl.program_id(2)
+
+    @pl.when(b == 0)
+    def _init():
+        db_acc[...] = jnp.zeros_like(db_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    m = m_ref[0, 0][:, :1]
+    l = l_ref[0, 0][:, :1]
+    di = di_ref[0, 0][:, :1]
+    bias = bias_ref[0].astype(jnp.float32)
+    # (1, block_q) lane row -> (block_q, 1) sublane column: Mosaic supports
+    # the 2-D transpose but not the equivalent reshape
+    gate_col = gate_ref[0, 0].astype(jnp.float32).T
+
+    s = _biased_scores(
+        q, k, scale, bias, gate_col, lengths_ref, b, 0, block_kv, masked
+    )
+    p = _recompute_p(s, m, l)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_rate > 0.0:
+        keep = _dropout_keep_mask(
+            p.shape, 1.0 - dropout_rate, seed_ref[0], b, h,
+            q_idx * block_q, 0,
+        )
+        dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
+    ds = p * (dp - di)
+    dq_ref[0, 0] = jax.lax.dot(
+        ds * scale, k.astype(jnp.float32), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    # dgate[b,h,i] = sum_j ds * bias; (block_q, 1) column -> (1, block_q)
+    # lane row via 2-D transpose
+    dg_ref[0, 0] = jnp.sum(ds * bias, axis=1, keepdims=True).T.astype(
+        dg_ref.dtype)
+    db_acc[...] += gate_col * ds
+
+    @pl.when(b == n_b - 1)
+    def _store():
+        dbias_ref[0] = db_acc[...].astype(dbias_ref.dtype)
+
+
+def _bwd_dkv_single_kernel(
+    lengths_ref, seed_ref,
+    q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref, m_ref, l_ref, di_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc,
+    *, scale, block_q, block_kv, n_q, masked, dropout_rate,
+):
+    """n_kv == 1 dk/dv: grid (H, B, n_q), q-blocks innermost (the dk/dv
+    accumulation), with the ENTIRE (Lp, block_kv) bias column of head h as
+    one block — its index (h,) is constant across the whole inner b x n_q
+    sweep, so it is fetched once per head; the i-th (block_q, block_kv)
+    tile is sliced in-kernel (block_q-aligned sublane start)."""
+    b = pl.program_id(1)
+    h = pl.program_id(0)
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    m = m_ref[0, 0][:, :1]
+    l = l_ref[0, 0][:, :1]
+    di = di_ref[0, 0][:, :1]
+    bias_tile = bias_ref[0, pl.ds(q_idx * block_q, block_q), :]
+    # (1, block_q) lane row -> (block_q, 1) sublane column: Mosaic supports
+    # the 2-D transpose but not the equivalent reshape
+    gate_col = gate_ref[0, 0].astype(jnp.float32).T
+
+    s = _biased_scores(
+        q, k, scale, bias_tile, gate_col, lengths_ref, b, 0, block_kv, masked
+    )
+    p = _recompute_p(s, m, l)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_rate > 0.0:
+        keep = _dropout_keep_mask(
+            p.shape, 1.0 - dropout_rate, seed_ref[0], b, h,
+            q_idx * block_q, 0,
+        )
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        p_used = jnp.where(keep, p * inv_keep, 0.0)
+        dp = jnp.where(keep, dp * inv_keep, 0.0)
+    else:
+        p_used = p
+    dv_acc[...] += jax.lax.dot_general(
+        p_used, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - di)
+    dk_acc[...] += jax.lax.dot_general(
+        ds * scale, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q_idx == n_q - 1)
+    def _store():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_single(q, k, v, bias, gate, lengths, seed, do, m, l, di, scale,
+                block_q, block_kv, interpret, dropout_rate, masked):
+    """Single-KV-block backward dispatch: dkv + fused dq/dg/dbias."""
+    B, H, L, D = q.shape
+    n_q = L // block_q
+    kw = dict(scale=scale, masked=masked, dropout_rate=dropout_rate,
+              block_q=block_q, block_kv=block_kv)
+    qspec = lambda order: pl.BlockSpec((1, 1, block_q, D), order)
+    kvspec = lambda order: pl.BlockSpec((1, 1, block_kv, D), order)
+    statspec = lambda order: pl.BlockSpec((1, 1, block_q, LANES), order)
+
+    # --- dk/dv: grid (H, B, n_q), whole bias column per head ---
+    dkv_in = [
+        qspec(lambda h, b, i, *_: (b, h, i, 0)),
+        kvspec(lambda h, b, i, *_: (b, h, 0, 0)),
+        kvspec(lambda h, b, i, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, L, block_kv), lambda h, b, i, *_: (h, 0, 0)),
+        pl.BlockSpec((1, 1, 1, block_q), lambda h, b, i, *_: (b, h, 0, i)),
+        qspec(lambda h, b, i, *_: (b, h, i, 0)),
+        statspec(lambda h, b, i, *_: (b, h, i, 0)),
+        statspec(lambda h, b, i, *_: (b, h, i, 0)),
+        statspec(lambda h, b, i, *_: (b, h, i, 0)),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_single_kernel, n_q=n_q, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(H, B, n_q),
+            in_specs=dkv_in,
+            out_specs=[
+                kvspec(lambda h, b, i, *_: (b, h, 0, 0)),
+                kvspec(lambda h, b, i, *_: (b, h, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, D), jnp.float32),
+                pltpu.VMEM((block_kv, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, seed, q, k, v, bias, gate[:, :, None, :], do, m, l, di)
+
+    # --- fused dq + dgate + dbias: grid (H, n_q, B), batch innermost ---
+    fused_in = [
+        qspec(lambda h, i, b, *_: (b, h, i, 0)),
+        kvspec(lambda h, i, b, *_: (b, h, 0, 0)),
+        kvspec(lambda h, i, b, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, block_q, block_kv), lambda h, i, b, *_: (h, i, 0)),
+        pl.BlockSpec((1, 1, 1, block_q), lambda h, i, b, *_: (b, h, 0, i)),
+        qspec(lambda h, i, b, *_: (b, h, i, 0)),
+        statspec(lambda h, i, b, *_: (b, h, i, 0)),
+        statspec(lambda h, i, b, *_: (b, h, i, 0)),
+        statspec(lambda h, i, b, *_: (b, h, i, 0)),
+    ]
+    dq, dg, dbias = pl.pallas_call(
+        functools.partial(_bwd_fused_single_kernel, n_b=B, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(H, n_q, B),
+            in_specs=fused_in,
+            out_specs=[
+                qspec(lambda h, i, b, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, 1, block_q), lambda h, i, b, *_: (b, h, 0, i)),
+                pl.BlockSpec((1, block_q, block_kv), lambda h, i, b, *_: (h, i, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_q, block_kv), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, L), jnp.float32),
+            jax.ShapeDtypeStruct((H, L, L), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, seed, q, k, v, bias, gate[:, :, None, :], do, m, l, di)
+
+    return dq, dk, dv, dbias, dg[:, :, 0, :]
+
+
 # ---------------------------------------------------------------------------
 # Custom VJP
 # ---------------------------------------------------------------------------
@@ -400,6 +737,14 @@ def _wavlm_bwd_rule(scale, block_q, block_kv, interpret, dropout_rate, res, do):
         lengths = jnp.full((B,), L, jnp.int32)
     di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     di = jnp.broadcast_to(di[..., None], (B, H, L, LANES))
+
+    if n_kv == 1 and _single_block_enabled():
+        dq, dk, dv, dbias, dg = _bwd_single(
+            q, k, v, bias, gate, lengths, seed, do, m, l, di, scale,
+            block_q, block_kv, interpret, dropout_rate, masked,
+        )
+        return (dq, dk, dv, dbias.astype(bias.dtype), dg.astype(gate.dtype),
+                None, None)
 
     kw = dict(scale=scale, masked=masked, dropout_rate=dropout_rate)
     qspec = lambda order: pl.BlockSpec((1, 1, block_q, D), order)

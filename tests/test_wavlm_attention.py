@@ -134,6 +134,57 @@ def test_wavlm_gradient_parity():
         )
 
 
+@pytest.mark.parametrize("lengths", [None, "ragged"])
+def test_wavlm_blocking_paths_agree(lengths):
+    """The single-KV-block fast path (n_kv==1: batch-innermost grids +
+    fused dq/dg/dbias kernel) must match the general multi-block path
+    bitwise-close, forward AND backward — including n_q > 1, which slices
+    the whole-head bias column in-kernel in the dkv kernel."""
+    from dphubert_tpu.ops.wavlm_attention import wavlm_flash_attention
+
+    B, H, L, D = 2, 3, 256, 32
+    ks = jax.random.split(jax.random.key(7), 6)
+    q = jax.random.normal(ks[0], (B, H, L, D))
+    k = jax.random.normal(ks[1], (B, H, L, D))
+    v = jax.random.normal(ks[2], (B, H, L, D))
+    bias = 0.5 * jax.random.normal(ks[3], (H, L, L))
+    gate = jax.nn.sigmoid(jax.random.normal(ks[4], (B, H, L))) * 2
+    lens = jnp.array([256, 173]) if lengths else None
+    probe = jax.random.normal(ks[5], (B, H, L, D))
+
+    def run(block_q, block_kv):
+        def f(q, k, v, bias, gate):
+            out = wavlm_flash_attention(
+                q, k, v, bias, gate, lens,
+                block_q=block_q, block_kv=block_kv, interpret=True,
+            )
+            if lens is not None:
+                valid = (jnp.arange(L)[None, :, None]
+                         < lens[:, None, None]).astype(q.dtype)[:, None]
+                out = out * valid
+            return jnp.sum(out * probe)
+
+        val, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3, 4))(
+            q, k, v, bias, gate)
+        return val, grads
+
+    # n_q=2 & n_kv=1 (fast path, multi-q bias column slicing in dkv)
+    v_fast, g_fast = run(block_q=128, block_kv=None)
+    # n_q=2 & n_kv=2 (general three-kernel path)
+    v_gen, g_gen = run(block_q=128, block_kv=128)
+    # n_q=1 & n_kv=1 (fast path, single tile)
+    v_one, g_one = run(block_q=256, block_kv=None)
+
+    np.testing.assert_allclose(float(v_fast), float(v_gen), rtol=1e-5)
+    np.testing.assert_allclose(float(v_fast), float(v_one), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_gen)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_one)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_wavlm_dropout_runs():
     """Dropout path: kernel-side mask, just check it runs, is finite, and
     differs from the no-dropout output."""

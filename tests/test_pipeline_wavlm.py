@@ -58,3 +58,32 @@ def test_wavlm_pipeline(synth_data, wavlm_teacher_ckpt, tmp_path):
         isinstance(h, list) for h in ck["config"]["encoder_remaining_heads"]
     )
     _run_cli(load_dpmodel, [str(pruned)])
+
+    # stage 2: final distill of the heterogeneous WavLM student (the
+    # remaining_heads training path — irregular per-layer head counts
+    # through the gated rel-pos attention and its backward)
+    from dphubert_tpu.cli import final_distill, save_final_ckpt
+
+    exp2 = tmp_path / "stage2"
+    _run_cli(final_distill, [
+        "--tsv_dir", str(tsv_dir), "--train_subset", "train100",
+        "--seconds_per_batch", "20", "--num_workers", "2",
+        "--num_shapes", "4", "--num_data_shards", "1",
+        "--precision", "fp32",
+        "--teacher_ckpt", str(wavlm_teacher_ckpt),
+        "--student_ckpt", str(pruned),
+        "--exp_dir", str(exp2),
+        "--max_updates", "2", "--warmup_updates", "1",
+        "--distill_layers", "0.1,3", "--log_interval", "1",
+    ])
+    distilled2 = exp2 / "ckpts" / "distilled.pth"
+    assert distilled2.exists()
+
+    # stage 3: merge + export + reload (full run.sh surface for WavLM)
+    _run_cli(save_final_ckpt, [
+        "--config_path", str(pruned),
+        "--ckpt_after_final_distill", str(distilled2),
+    ])
+    final = distilled2.parent / "pruned_hubert_base.pth"
+    assert final.exists()
+    _run_cli(load_dpmodel, [str(final)])

@@ -325,6 +325,35 @@ def device_snapshot(state: TrainState) -> TrainState:
     return _snapshot_fn(state._replace(rng=rng_as_data(state.rng)))
 
 
+def background_ckpt_fits(state, *, device=None) -> bool:
+    """Whether the background-gather path is safe for this train state:
+    the device snapshot holds ONE extra full copy of the state in HBM
+    while training keeps dispatching, so a state that is a large fraction
+    of the chip's memory must stay on the synchronous path (measured: the
+    ~3.8 GB wav2vec2-Large state's snapshot+gather dies with
+    RESOURCE_EXHAUSTED mid-run on a 16 GB chip; the ~1.1 GB Base states
+    are fine).  Budget: snapshot bytes <= 15% of the device memory limit
+    (falls back to a 2 GiB cap when the backend reports no limit).
+    ``DPHUBERT_BG_CKPT=1/0`` force-overrides."""
+    import os
+
+    force = os.environ.get("DPHUBERT_BG_CKPT")
+    if force is not None:
+        return force != "0"
+    nbytes = sum(
+        leaf.nbytes for leaf in jax.tree.leaves(state)
+        if hasattr(leaf, "nbytes")
+    )
+    limit = None
+    try:
+        stats = (device or jax.devices()[0]).memory_stats()
+        limit = (stats or {}).get("bytes_limit")
+    except Exception:  # noqa: BLE001 — backend may not expose stats
+        limit = None
+    budget = int(limit * 0.15) if limit else 2 * 1024**3
+    return nbytes <= budget
+
+
 class BackgroundSaver:
     """Takes the checkpoint device->host gather off the training step path.
 
@@ -337,14 +366,20 @@ class BackgroundSaver:
     synchronous behavior if checkpoints ever outpace the writer), which
     also bounds the snapshot HBM overhead to one extra train state.
 
-    Worker exceptions are re-raised at the next ``submit``/``close`` so a
-    failed checkpoint write cannot pass silently."""
+    A worker failure (e.g. RESOURCE_EXHAUSTED gathering the snapshot under
+    memory pressure) must not kill a multi-hour run: the failed step's
+    checkpoint is lost (superseded by the next), a loud warning is logged,
+    and the saver **degrades to synchronous saves** from the live state for
+    the rest of the run.  ``close()`` returns the failure (or None) instead
+    of raising so the trainer can rewrite the *final* checkpoint
+    synchronously — the one save that has no successor to supersede it."""
 
     def __init__(self, save_fn):
         self._save_fn = save_fn
         self._q: queue.Queue = queue.Queue()
         self._slot = threading.Semaphore(1)
         self._exc: Optional[BaseException] = None
+        self._degraded = False
         self._thread = threading.Thread(
             target=self._worker, daemon=True, name="ckpt-saver")
         self._thread.start()
@@ -365,28 +400,50 @@ class BackgroundSaver:
                 host = jax.tree.map(_as_host, snap)
                 del snap, item
                 self._save_fn(host, **kwargs)
-            except BaseException as e:  # noqa: BLE001 — re-raised on main
+            except BaseException as e:  # noqa: BLE001 — handled on main
                 self._exc = e
             finally:
                 self._slot.release()
 
-    def _check(self):
-        if self._exc is not None:
-            exc, self._exc = self._exc, None
-            raise RuntimeError("background checkpoint save failed") from exc
+    def _take_exc(self) -> Optional[BaseException]:
+        exc, self._exc = self._exc, None
+        return exc
+
+    def _warn_degrade(self, exc: BaseException, when: str) -> None:
+        import logging
+
+        logging.getLogger("dphubert_tpu").warning(
+            "background checkpoint save failed %s (%s: %s); that step's "
+            "checkpoint is lost — degrading to synchronous saves for the "
+            "rest of the run", when, type(exc).__name__, exc)
+        self._degraded = True
 
     def submit(self, state: TrainState, **kwargs) -> None:
+        if self._degraded:
+            self._save_fn(state, **kwargs)
+            return
         self._slot.acquire()  # wait out an in-flight save, if any
-        try:
-            self._check()
-            snap = device_snapshot(state)
-        except BaseException:
+        prev = self._take_exc()
+        if prev is not None:
             self._slot.release()
-            raise
+            self._warn_degrade(prev, "in the gather worker")
+            self._save_fn(state, **kwargs)
+            return
+        try:
+            snap = device_snapshot(state)
+        except BaseException as e:  # noqa: BLE001 — degrade, don't kill
+            self._slot.release()
+            self._warn_degrade(e, "dispatching the device snapshot")
+            self._save_fn(state, **kwargs)
+            return
         self._q.put((snap, kwargs))
 
-    def close(self) -> None:
+    def close(self) -> Optional[BaseException]:
+        """Drain the in-flight save and stop the worker.  Returns the
+        pending failure (if the LAST background save died) so the caller
+        can rewrite the final checkpoint synchronously; returns None when
+        everything landed."""
         self._slot.acquire()  # drain the in-flight save
         self._q.put(None)
         self._thread.join()
-        self._check()
+        return self._take_exc()

@@ -10,6 +10,7 @@ batch over the mesh's ``data`` axis instead of DDP processes.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import pathlib
 import signal
@@ -405,9 +406,17 @@ def train(
     participates = (ckpt_mgr is not None) or is_main
     saver = None
     if participates and os.environ.get("DPHUBERT_SYNC_CKPT") != "1":
-        from .checkpointing import BackgroundSaver
+        from .checkpointing import BackgroundSaver, background_ckpt_fits
 
-        saver = BackgroundSaver(_write_ckpt)
+        # the snapshot doubles the train state in HBM while training keeps
+        # dispatching — states that are a large fraction of device memory
+        # (the Large family) stay on the synchronous path
+        if background_ckpt_fits(state):
+            saver = BackgroundSaver(_write_ckpt)
+        else:
+            logging.getLogger("dphubert_tpu").info(
+                "train state too large for the background checkpoint "
+                "snapshot — using synchronous saves")
 
     def _checkpoint():
         if not participates or step == last_saved["step"]:
@@ -546,7 +555,15 @@ def train(
 
     _checkpoint()
     if saver is not None:
-        saver.close()  # drain the background gather + write
+        err = saver.close()  # drain the background gather + write
+        if err is not None and participates:
+            # the FINAL checkpoint has no successor to supersede it —
+            # rewrite it synchronously from the live state
+            logging.getLogger("dphubert_tpu").warning(
+                "final background checkpoint save failed (%s: %s); "
+                "rewriting synchronously", type(err).__name__, err)
+            _write_ckpt(state, step=step, epoch=epoch,
+                        batch_in_epoch=batch_in_epoch)
     if ckpt_mgr is not None:
         ckpt_mgr.close()  # drain pending async writes
     if prev_handler is not None:

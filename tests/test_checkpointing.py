@@ -154,10 +154,57 @@ def test_background_saver_captures_submit_time_state(tmp_path):
         for a, b in zip(expected[s], recorded[s]):
             np.testing.assert_array_equal(a, b)
 
+def test_background_saver_degrades_to_sync_on_worker_failure():
+    """A failed background save must NOT kill a multi-hour run: the next
+    submit degrades to a synchronous save from the live state (so every
+    later checkpoint still lands), and close() reports a failure of the
+    LAST save so the trainer can rewrite the final checkpoint."""
+    from dphubert_tpu.train.checkpointing import BackgroundSaver
+
+    calls = {"n": 0, "steps": []}
+
+    def flaky(host_state, *, step):
+        calls["n"] += 1
+        calls["steps"].append(step)
+        if calls["n"] == 1:
+            raise MemoryError("simulated RESOURCE_EXHAUSTED")
+
+    saver = BackgroundSaver(flaky)
+    saver.submit(_make_state(0), step=1)   # background; worker fails
+    saver.submit(_make_state(0), step=2)   # detects failure -> sync save
+    assert saver._degraded
+    saver.submit(_make_state(0), step=3)   # stays sync
+    assert saver.close() is None           # failure was already handled
+    assert calls["steps"] == [1, 2, 3]
+
+    # a failure of the FINAL save surfaces from close() for a sync rewrite
     failing = BackgroundSaver(lambda host_state, **kw: 1 / 0)
     failing.submit(_make_state(1), step=7)
-    with pytest.raises(RuntimeError, match="background checkpoint save"):
-        failing.close()
+    err = failing.close()
+    assert isinstance(err, ZeroDivisionError)
+
+
+def test_background_ckpt_size_gate(monkeypatch):
+    """States a large fraction of device memory stay on the sync path."""
+    from dphubert_tpu.train import checkpointing as ck
+
+    small = _make_state(0)
+    assert ck.background_ckpt_fits(small)
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 16 * 1024**3}
+
+    # 15% of 16 GiB = 2.4 GiB; fake a leaf above it via nbytes
+    class BigLeaf:
+        nbytes = 3 * 1024**3
+    assert not ck.background_ckpt_fits([BigLeaf()], device=FakeDev())
+    assert ck.background_ckpt_fits([BigLeaf()], device=FakeDev()) is False
+
+    monkeypatch.setenv("DPHUBERT_BG_CKPT", "1")
+    assert ck.background_ckpt_fits([BigLeaf()], device=FakeDev())
+    monkeypatch.setenv("DPHUBERT_BG_CKPT", "0")
+    assert not ck.background_ckpt_fits(small)
 
 
 def test_steps_per_dispatch_missing_metadata_treated_as_one():

@@ -325,6 +325,45 @@ def device_snapshot(state: TrainState) -> TrainState:
     return _snapshot_fn(state._replace(rng=rng_as_data(state.rng)))
 
 
+def _paced_gather(snap, pace_mbps: Optional[float] = None):
+    """Gather a device snapshot to host WITHOUT starving the training feed.
+
+    Through a shared device link (the axon relay tunnel, but equally a
+    congested PCIe/ICI path), enqueueing every leaf's D2H at once puts the
+    whole ~1 GB train state AHEAD of the training loop's per-dispatch feed
+    uploads — each feed then waits behind the entire remaining gather and
+    the 'background' save stalls stepping almost 1:1 (measured r5: ~40 s of
+    excess per checkpoint, i.e. state-bytes / link-bandwidth).  Gathering
+    **leaf-serially** bounds a feed's wait to one in-flight leaf (~10 MB),
+    and pacing sleeps between leaves yield the link so concurrent feeds run
+    at full rate.  Default pace 30 MB/s (~50% duty on the measured ~40-50
+    MB/s tunnel); ``DPHUBERT_BG_GATHER_PACE_MBPS`` overrides (0 disables
+    pacing AND restores the flood-enqueue overlap — correct on hardware
+    with a dedicated D2H DMA path)."""
+    import os
+    import time
+
+    if pace_mbps is None:
+        pace_mbps = float(os.environ.get("DPHUBERT_BG_GATHER_PACE_MBPS", 30))
+    if pace_mbps <= 0:
+        for leaf in jax.tree.leaves(snap):
+            if (isinstance(leaf, jax.Array)
+                    and leaf.sharding.is_fully_addressable):
+                leaf.copy_to_host_async()
+        return jax.tree.map(_as_host, snap)
+
+    def gather_one(leaf):
+        if not (isinstance(leaf, jax.Array)
+                and leaf.sharding.is_fully_addressable):
+            return leaf
+        leaf.copy_to_host_async()
+        host = np.asarray(leaf)
+        time.sleep(host.nbytes / (pace_mbps * 1e6))
+        return host
+
+    return jax.tree.map(gather_one, snap)
+
+
 def background_ckpt_fits(state, *, device=None) -> bool:
     """Whether the background-gather path is safe for this train state:
     the device snapshot holds ONE extra full copy of the state in HBM
@@ -391,13 +430,7 @@ class BackgroundSaver:
                 return
             snap, kwargs = item
             try:
-                # start every fully-addressable leaf's D2H DMA before the
-                # first blocking asarray so the transfers overlap
-                for leaf in jax.tree.leaves(snap):
-                    if (isinstance(leaf, jax.Array)
-                            and leaf.sharding.is_fully_addressable):
-                        leaf.copy_to_host_async()
-                host = jax.tree.map(_as_host, snap)
+                host = _paced_gather(snap)
                 del snap, item
                 self._save_fn(host, **kwargs)
             except BaseException as e:  # noqa: BLE001 — handled on main

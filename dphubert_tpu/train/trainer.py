@@ -413,6 +413,11 @@ def train(
         # (the Large family) stay on the synchronous path
         if background_ckpt_fits(state):
             saver = BackgroundSaver(_write_ckpt)
+            # pre-compile the snapshot copy now (remote compile can take
+            # ~a minute) so the first checkpoint crossing doesn't pay it
+            from .checkpointing import device_snapshot
+
+            jax.block_until_ready(device_snapshot(state))
         else:
             logging.getLogger("dphubert_tpu").info(
                 "train state too large for the background checkpoint "

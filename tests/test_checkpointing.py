@@ -184,6 +184,20 @@ def test_background_saver_degrades_to_sync_on_worker_failure():
     assert isinstance(err, ZeroDivisionError)
 
 
+def test_paced_gather_matches_flood_gather():
+    """Leaf-serial paced gather and flood-enqueue gather must hand the
+    writer identical host trees (pacing only changes transfer scheduling)."""
+    from dphubert_tpu.train import checkpointing as ck
+
+    snap = ck.device_snapshot(_make_state(3))
+    paced = ck._paced_gather(snap, pace_mbps=1000.0)
+    flood = ck._paced_gather(snap, pace_mbps=0.0)
+    a, b = jax.tree.leaves(paced), jax.tree.leaves(flood)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_background_ckpt_size_gate(monkeypatch):
     """States a large fraction of device memory stay on the sync path."""
     from dphubert_tpu.train import checkpointing as ck

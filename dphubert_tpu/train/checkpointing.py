@@ -336,15 +336,21 @@ def _paced_gather(snap, pace_mbps: Optional[float] = None):
     excess per checkpoint, i.e. state-bytes / link-bandwidth).  Gathering
     **leaf-serially** bounds a feed's wait to one in-flight leaf (~10 MB),
     and pacing sleeps between leaves yield the link so concurrent feeds run
-    at full rate.  Default pace 30 MB/s (~50% duty on the measured ~40-50
-    MB/s tunnel); ``DPHUBERT_BG_GATHER_PACE_MBPS`` overrides (0 disables
-    pacing AND restores the flood-enqueue overlap — correct on hardware
-    with a dedicated D2H DMA path)."""
+    at full rate.
+
+    Measured head-to-head on the r5 WavLM stage-1 run (single-vCPU host,
+    relay tunnel): flood ≈ 30-50 s of excess step time per checkpoint;
+    paced 30 MB/s ≈ 70-160 s and growing — the sleeps stretch the save
+    window into overlap with the (CPU-bound) checkpoint write, and on one
+    core the bottleneck is host CPU, not link scheduling.  Default is
+    therefore **flood** (pace 0); set ``DPHUBERT_BG_GATHER_PACE_MBPS`` to
+    a positive rate on multi-core hosts whose link genuinely starves the
+    feed."""
     import os
     import time
 
     if pace_mbps is None:
-        pace_mbps = float(os.environ.get("DPHUBERT_BG_GATHER_PACE_MBPS", 30))
+        pace_mbps = float(os.environ.get("DPHUBERT_BG_GATHER_PACE_MBPS", 0))
     if pace_mbps <= 0:
         for leaf in jax.tree.leaves(snap):
             if (isinstance(leaf, jax.Array)
